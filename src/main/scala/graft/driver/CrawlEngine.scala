@@ -1,0 +1,367 @@
+package graft.driver
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+import graft.model._
+import graft.functions.CrawlFunctions._
+import graft.plans.SnapTable
+import graft.operators.Politeness
+
+/**
+ * The crawl micro-cycle engine (SURVEY §3.4): the reference's continuous
+ * actor loop (Manager pull → pipelines → Downloader → Crawler → Master;
+ * reference: src/main/scala/es/udc/scrawl/Manager.scala:82-147) re-expressed
+ * as batched cycles of pure DataFrame transforms over snapshot tables.
+ *
+ * Per cycle: DRAIN (window top-k per host) → ROBOTS (gate/synthesize-fetch/
+ * defer) → POLITE (per-host budget) → FETCH (join vs corpus) → RESPOND
+ * (retry 404 / filter 403,500 / ajax rewrite) → PARSE (extract links +
+ * image payload) → DEPTH → ENQUEUE (bloom prefilter + anti-join dedup) →
+ * COMMIT (atomic snapshot: frontier COW by hostBucket + robots + output +
+ * lineage). All state lives in tables; resume = reopen LATEST snapshot.
+ *
+ * Scale notes (north_rule): the frontier is partitioned by
+ * `bucket = pmod(xxhash64(host), P)`; a cycle rewrites only touched buckets.
+ * Shuffles per cycle: drain window (by host), fetch join (by url), dedup
+ * anti-join (by url) — ≤3 as designed (SURVEY §4.3). Logical clock = cycle
+ * number; no wall-clock in executors.
+ */
+final class CrawlEngine(
+    val spark: SparkSession,
+    val config: CrawlConfig,
+    pages: DataFrame,
+    images: DataFrame,
+    workDir: String) {
+
+  import spark.implicits._
+
+  val snap = new SnapTable(spark, s"$workDir/state")
+  private val corpusPath = s"$workDir/corpus_resolved"
+  private var seenCountEstimate: Long = 0L
+  private val RedirectCodes = Seq(301, 302, 303, 307, 308)
+
+  /**
+   * Pre-resolve redirect chains once per run (S4): spray's host connector
+   * follows ≤5 redirects transparently (reference.conf:33), keeping the
+   * task's original URL. maxRedirects joins at setup time buys a single
+   * equi-join per cycle at fetch time.
+   */
+  def prepareCorpus(): Unit = {
+    if (new java.io.File(corpusPath).exists()) return
+    val p = pages.select($"url", $"status", $"content_type", $"body",
+      $"image_id", $"redirect_to")
+    var cur = p.select(
+      $"url".as("src_url"), $"status".as("f_status"),
+      $"content_type".as("f_ct"), $"body".as("f_body"),
+      $"image_id".as("f_image_id"), $"redirect_to".as("next"),
+      lit(0).as("hops"))
+    for (_ <- 1 to config.maxRedirects) {
+      val pending = cur.filter($"f_status".isin(RedirectCodes: _*) && $"next".isNotNull)
+      val done = cur.filter(!($"f_status".isin(RedirectCodes: _*) && $"next".isNotNull))
+      val stepped = pending.select($"src_url", $"next", $"hops")
+        .join(p.withColumnRenamed("url", "next"), Seq("next"), "left")
+        .select($"src_url",
+          coalesce($"status", lit(-1)).as("f_status"), // -1 = broken hop ⇒ connection error
+          $"content_type".as("f_ct"), $"body".as("f_body"),
+          $"image_id".as("f_image_id"), $"redirect_to".as("next"),
+          ($"hops" + 1).as("hops"))
+      cur = done.unionByName(stepped)
+    }
+    // still redirecting after maxRedirects hops ⇒ too-many-redirects error
+    cur.withColumn("f_err",
+      when($"f_status" === -1, lit(Reasons.connectionError))
+        .when($"f_status".isin(RedirectCodes: _*) && $"next".isNotNull,
+          lit(Reasons.maxRedirects)))
+      .drop("next")
+      .write.mode("overwrite").parquet(corpusPath)
+  }
+
+  def resolvedCorpus: DataFrame = spark.read.parquet(corpusPath)
+
+  /** Seed injection (S1): depth-0 New rows, deduped (Master.scala:104-113). */
+  def init(seeds: Seq[String]): Unit = {
+    require(snap.latestVersion.isEmpty,
+      s"$workDir already holds crawl state (snapshot v${snap.latestVersion.get}); " +
+        "use resume() or point at a fresh workdir")
+    prepareCorpus()
+    val rows = seeds.toDF("raw")
+      .select(canonicalizeUdf($"raw").as("url")).filter($"url".isNotNull)
+      .dropDuplicates("url")
+      .withColumn("host", hostOfUdf($"url"))
+      .withColumn("depth", lit(0))
+      .withColumn("prio", lit(0L))
+      .withColumn("status", lit(Status.New))
+      .withColumn("started", lit(-1L))
+      .withColumn("retries", lit(0))
+      .withColumn("reason", lit(null).cast("string"))
+      .withColumn("bucket", hostBucket($"host", config.numBuckets))
+    val buckets = rows.select("bucket").distinct().as[Int].collect().toSet
+    seenCountEstimate = seeds.size.toLong
+    snap.commit(cycle = 0,
+      cowTables = Map("frontier" -> ((rows, "bucket", buckets))),
+      fullTables = Map("robots" -> spark.emptyDataset[RobotsRow].toDF()),
+      metrics = Map("seeded" -> seeds.size.toDouble))
+  }
+
+  def loadFrontier(s: snap.Snapshot): DataFrame =
+    snap.readTable(s, "frontier").get
+      .withColumn("bucket", hostBucket($"host", config.numBuckets))
+
+  def loadRobots(s: snap.Snapshot): DataFrame = snap.readTable(s, "robots").get
+
+  /** O9 — completion: no New and no stale-InProgress rows remain. */
+  def remaining(frontier: DataFrame, cycle: Long): Long =
+    frontier.filter(drainablePredicate(cycle)).count()
+
+  private def drainablePredicate(cycle: Long) =
+    $"status" === Status.New ||
+      ($"status" === Status.InProgress && $"started" < lit(cycle - config.staleCycles))
+
+  /**
+   * Run one micro-cycle; returns (snapshot, drainedCount). drained == 0 with
+   * robots-deferral impossible ⇒ Finished.
+   */
+  def runCycle(cycle: Long): (snap.Snapshot, Long) = {
+    val prev = snap.latest.getOrElse(sys.error("engine not initialized"))
+    val frontier = loadFrontier(prev).persist(StorageLevel.MEMORY_AND_DISK)
+    val robots = loadRobots(prev)
+
+    // ---- 1. DRAIN candidates (O1): window top-k per host ----------------
+    val drainable = frontier.filter(drainablePredicate(cycle))
+    // ---- 2. POLITE (O12): ≤ hostBudget rows per host per cycle ----------
+    val hostW = Window.partitionBy($"host").orderBy($"depth", $"prio", $"url")
+    val polite0 =
+      if (config.usePolitenessMapGroups)
+        Politeness.tokenBucket(spark, drainable, config.hostBudget)
+      else drainable.withColumn("rn", row_number().over(hostW))
+          .filter($"rn" <= config.hostBudget).drop("rn")
+    val polite = if (config.globalBatchCap == Int.MaxValue) polite0
+      else polite0.withColumn("grn",
+          row_number().over(Window.orderBy($"depth", $"prio", $"url")))
+        .filter($"grn" <= config.globalBatchCap).drop("grn")
+
+    // ---- 3. ROBOTS gate (P3): known-allow / known-deny / defer+fetch ----
+    val withRobots = polite.join(robots.hint("broadcast"), Seq("host"), "left")
+    val robotsKnown = withRobots.filter($"fetched_cycle".isNotNull)
+    val robotsUnknown = withRobots.filter($"fetched_cycle".isNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val denied = robotsKnown.filter(!$"all_allowed" &&
+      !robotsAllowedUdf($"rules", lit(config.userAgent), $"url"))
+    val allowed = robotsKnown.filter($"all_allowed" ||
+      robotsAllowedUdf($"rules", lit(config.userAgent), $"url"))
+
+    // hosts lacking robots: synthesize ONE robots fetch per authority this
+    // cycle (RobotsFilter.scala:63-68); their page rows stay New (deferral ≙
+    // the reference's `waiting` queue, at most one extra cycle of latency)
+    val robotsFetch = robotsUnknown.groupBy($"host")
+      .agg(min($"url").as("any_url"))
+      .select($"host", concat(split($"any_url", "/")(0), lit("//"), $"host",
+        lit("/robots.txt")).as("src_url"))
+    val robotsResp = robotsFetch.join(resolvedCorpus, Seq("src_url"), "left")
+      .select($"host",
+        when($"f_status" === 200 && $"f_err".isNull,
+          robotsParseUdf($"f_body")).otherwise(lit(null)).as("parsed"),
+        $"f_status", $"f_err")
+    // 200+parse-ok ⇒ rules; 200+parse-fail / non-200 / missing / error ⇒ all
+    // allowed (RobotsFilter.scala:74-81, 99-103, 110-119)
+    val robotsNew = robotsResp.select($"host",
+      ($"parsed".isNull).as("all_allowed"),
+      $"parsed".as("rules"), lit(cycle).as("fetched_cycle"))
+    val robotsOut = robots.unionByName(robotsNew)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- 4. FETCH (S3/S4): equi-join claimed batch vs resolved corpus ---
+    val claimed = allowed.select($"url", $"host", $"bucket", $"depth",
+      $"prio", $"retries").persist(StorageLevel.MEMORY_AND_DISK)
+    val fetched = claimed.join(
+      resolvedCorpus.withColumnRenamed("src_url", "url"), Seq("url"), "left")
+
+    // ---- 5. RESPOND: retry(404) → filter(403,500) → ajax rewrite --------
+    // response leg order per reference.conf:66-71 traversed right-to-left:
+    // RetryHttpError → FilterHttpError → AjaxLinksTransform → RobotsFilter
+    val retriesLit = config.retryCodes.toSeq
+    val filtersLit = config.filterCodes.toSeq
+    val responded = fetched.withColumn("outcome",
+      when($"f_err".isNotNull || $"f_status".isNull || $"f_status" === -1, lit("ERROR"))
+        .when($"f_status".isin(retriesLit: _*) && $"retries" < config.maxRetries, lit("RETRY"))
+        .when($"f_status".isin(retriesLit: _*), lit("ERROR"))
+        .when($"f_status".isin(filtersLit: _*), lit("ERROR"))
+        .otherwise(lit("OK")))
+      .withColumn("reason",
+        when($"f_err".isNotNull, $"f_err")
+          .when($"f_status".isNull, lit(Reasons.connectionError))
+          .when($"f_status".isin(retriesLit: _*) && $"retries" >= config.maxRetries,
+            lit(Reasons.maxRetriesReached))
+          .when($"f_status".isin(filtersLit: _*),
+            concat(lit("FilteredHttpCode("), $"f_status", lit(")"))))
+
+    // ---- 6. PARSE (X1-X3) + 7. DEPTH (P8) on OK responses ---------------
+    val ok = responded.filter($"outcome" === "OK")
+      .withColumn("body2", ajaxRewriteUdf($"f_body", $"url", $"f_ct"))
+      .withColumn("links",
+        when($"depth" >= config.maxDepth, array()) // MaxDepthFilter.scala:17-22 (≥ inclusive)
+          .otherwise(extractLinksUdf($"body2", $"url", $"f_ct")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // outcomes ledger for the claimed batch (O6/O7) + robots denials
+    // (RobotsFilter.scala:58-61 — deny ⇒ Error(task, RobotsPathFiltered(ua)))
+    val outcomes = responded.select($"url", $"host", $"bucket", $"depth",
+      $"prio", $"retries", $"outcome", $"reason")
+      .unionByName(denied.select($"url", $"host", $"bucket", $"depth",
+        $"prio", $"retries", lit("ERROR").as("outcome"),
+        lit(Reasons.robotsPathFiltered(config.userAgent)).as("reason")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- output rows (S7): image payload + per-row validation -----------
+    val outRows = ok.filter($"f_image_id".isNotNull)
+      .select($"f_image_id".as("image_id"), $"url".as("src_url"), $"depth")
+      .join(images, Seq("image_id"), "left")
+      .select($"image_id", $"bytes", $"w", $"h", $"fmt", $"caption",
+        $"phash", $"src_url", $"depth", lit(cycle).as("cycle"),
+        psnrUdf($"image_id", $"bytes").as("psnr"),
+        ($"caption" === refCaptionUdf($"image_id")).as("caption_ok"))
+
+    // ---- 8. ENQUEUE (O5): explode → canonical → dedup → anti-join -------
+    val rawLinks = ok.select(explode($"links").as("url"),
+      ($"depth" + 1).as("depth"))
+    // first-seen depth wins; within a commit the deterministic contract is
+    // min(depth) then BFS order (SURVEY §3.5)
+    val batchLinks = rawLinks.groupBy($"url")
+      .agg(min($"depth").as("depth"))
+    val preFiltered =
+      if (config.useBloom && seenCountEstimate > 0) {
+        val bloom = frontier.stat.bloomFilter("url",
+          math.max(seenCountEstimate, 1000L), 0.01)
+        val mightContain = bloomContainsUdf(bloom)
+        // bloom=no ⇒ definitely unseen (skip the exact join); bloom=maybe ⇒
+        // confirm with exact left_anti
+        val definitelyNew = batchLinks.filter(!mightContain($"url"))
+        val maybeSeen = batchLinks.filter(mightContain($"url"))
+          .join(frontier.select("url"), Seq("url"), "left_anti")
+        definitelyNew.unionByName(maybeSeen)
+      } else batchLinks.join(frontier.select("url"), Seq("url"), "left_anti")
+    val newRows = preFiltered
+      .withColumn("host", hostOfUdf($"url"))
+      .withColumn("bucket", hostBucket($"host", config.numBuckets))
+      .withColumn("prio", lit(cycle))
+      .withColumn("status", lit(Status.New))
+      .withColumn("started", lit(-1L))
+      .withColumn("retries", lit(0))
+      .withColumn("reason", lit(null).cast("string"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- 9. COMMIT: frontier COW on touched buckets + robots + output ---
+    val updates = outcomes.select($"url",
+      when($"outcome" === "OK", Status.Completed)
+        .when($"outcome" === "ERROR", Status.WithError)
+        .otherwise(Status.New).as("u_status"),
+      when($"outcome" === "RETRY", $"retries" + 1).otherwise($"retries").as("u_retries"),
+      $"reason".as("u_reason"),
+      lit(cycle).as("u_started"))
+    val frontierNext = frontier
+      .join(updates.hint("shuffle_hash"), Seq("url"), "left")
+      .select($"url", $"host", $"bucket", $"depth", $"prio",
+        coalesce($"u_status", $"status").as("status"),
+        coalesce($"u_started", $"started").as("started"),
+        coalesce($"u_retries", $"retries").as("retries"),
+        coalesce($"u_reason", $"reason").as("reason"))
+      .unionByName(newRows.select($"url", $"host", $"bucket", $"depth",
+        $"prio", $"status", $"started", $"retries", $"reason"))
+
+    // per-bucket lineage / metrics (north_rule: per-partition lineage)
+    val drainedByBucket = outcomes.groupBy($"bucket").agg(
+      count(lit(1)).as("drained"),
+      sum(when($"outcome" === "OK", 1L).otherwise(0L)).as("completed"),
+      sum(when($"outcome" === "ERROR", 1L).otherwise(0L)).as("errors"),
+      sum(when($"outcome" === "RETRY", 1L).otherwise(0L)).as("retried"))
+    val enqByBucket = newRows.groupBy($"bucket")
+      .agg(count(lit(1)).as("enqueued"))
+    val dedupCount = batchLinks.count() - newRows.count()
+    val deferredRobots = robotsUnknown.count()
+    val deferredPolite = drainable.count() - polite.count()
+    val lineage = drainedByBucket.join(enqByBucket, Seq("bucket"), "full")
+      .select(lit(cycle).as("cycle"), $"bucket",
+        coalesce($"drained", lit(0L)).as("drained"),
+        coalesce($"completed", lit(0L)).as("fetched"),
+        coalesce($"completed", lit(0L)).as("completed"),
+        coalesce($"errors", lit(0L)).as("errors"),
+        coalesce($"retried", lit(0L)).as("retried"),
+        coalesce($"enqueued", lit(0L)).as("enqueued"),
+        lit(dedupCount).as("deduped"),
+        lit(deferredRobots).as("deferred_robots"),
+        lit(deferredPolite).as("deferred_polite"),
+        lit(0L).as("output_rows"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val touched = (outcomes.select($"bucket").distinct()
+      .unionByName(newRows.select($"bucket").distinct()))
+      .distinct().as[Int].collect().toSet
+    val drainedCount = outcomes.count()
+    val enqueuedCount = newRows.count()
+    seenCountEstimate += enqueuedCount
+    val robotsFetched = robotsNew.count()
+
+    val s = snap.commit(cycle,
+      cowTables = Map("frontier" -> ((frontierNext, "bucket", touched))),
+      fullTables = if (robotsFetched > 0) Map("robots" -> robotsOut.drop("bucket")) else Map.empty,
+      appends = Map("output" -> outRows, "lineage" -> lineage.toDF()),
+      metrics = Map(
+        "cycle" -> cycle.toDouble,
+        "drained" -> drainedCount.toDouble,
+        "enqueued" -> enqueuedCount.toDouble,
+        "deduped" -> dedupCount.toDouble,
+        "robots_fetched" -> robotsFetched.toDouble,
+        "deferred_robots" -> deferredRobots.toDouble))
+
+    Seq(frontier, robotsUnknown, claimed, ok, outcomes, newRows, robotsOut,
+      lineage).foreach(_.unpersist())
+    (s, drainedCount + robotsFetched)
+  }
+
+  /** Drive cycles until Finished (O9/O10); returns final snapshot. */
+  def run(seeds: Seq[String], maxCycles: Int = 1000): snap.Snapshot = {
+    init(seeds)
+    var cycle = 1L
+    var done = false
+    var last = snap.latest.get
+    while (!done && cycle <= maxCycles) {
+      val (s, progressed) = runCycle(cycle)
+      last = s
+      if (progressed == 0) done = true
+      cycle += 1
+    }
+    last
+  }
+
+  /** Resume from the latest committed snapshot (exactness: SURVEY §7.2). */
+  def resume(maxCycles: Int = 1000): snap.Snapshot = {
+    prepareCorpus()
+    val start = snap.latest.getOrElse(sys.error("nothing to resume")).cycle + 1
+    // rebuild the seen estimate for bloom sizing
+    seenCountEstimate = math.max(loadFrontier(snap.latest.get).count(), 1L)
+    var cycle = start
+    var done = false
+    var last = snap.latest.get
+    while (!done && cycle <= start + maxCycles) {
+      val (s, progressed) = runCycle(cycle)
+      last = s
+      if (progressed == 0) done = true
+      cycle += 1
+    }
+    last
+  }
+
+  // ---- result views ------------------------------------------------------
+  def frontierNow: DataFrame = loadFrontier(snap.latest.get)
+  def outputNow: DataFrame =
+    snap.readAppended(snap.latest.get, "output")
+      .getOrElse(spark.emptyDataset[OutputRow].toDF())
+  def lineageNow: DataFrame =
+    snap.readAppended(snap.latest.get, "lineage")
+      .getOrElse(spark.emptyDataset[LineageRow].toDF())
+  /** visited = successfully completed page fetches (NodeTest.scala:77,89). */
+  def visited: DataFrame = frontierNow.filter($"status" === Status.Completed)
+}

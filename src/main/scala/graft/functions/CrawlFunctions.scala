@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+import graft.urls.CUrl
+import graft.html.Html
+import graft.robots.RobotRules
+import graft.image.ImageCodec
+
+/**
+ * Column-level functions of the crawl engine. Everything that CAN be a
+ * built-in Catalyst function is (xxhash64, pmod, explode, when/otherwise —
+ * all codegen'd); the genuinely domain-specific scalar functions are Scala
+ * UDFs over the pure core (deterministic, null-safe). UDF-heavy projections
+ * are kept in narrow dedicated stages so they don't break whole-stage
+ * codegen for the surrounding joins/windows (SURVEY §4.2).
+ */
+object CrawlFunctions {
+  /** canonical-URL identity — reference Master.generateId (Master.scala:34-36) */
+  val canonicalizeUdf = udf((s: String) =>
+    Option(s).flatMap(CUrl.canonicalize).orNull)
+
+  val hostOfUdf = udf((s: String) =>
+    Option(s).flatMap(CUrl.parseAbsolute).map(_.authority).orNull)
+
+  val pathOfUdf = udf((s: String) =>
+    Option(s).flatMap(CUrl.parseAbsolute).map(_.path).orNull)
+
+  /** X1: extract + resolve + filter links (LinkExtractor.scala:19-44). */
+  val extractLinksUdf = udf((body: String, base: String, ct: String) =>
+    if (body == null || base == null) Seq.empty[String]
+    else Html.extractLinks(body, base, ct))
+
+  /** P5: AJAX #! rewrite (AjaxLinksTransform.scala:26-50). */
+  val ajaxRewriteUdf = udf((body: String, base: String, ct: String) =>
+    if (body == null || base == null) body
+    else Html.rewriteAjax(body, base, ct))
+
+  /** P4: robots decision over the encoded rules of the host's robots row. */
+  val robotsAllowedUdf = udf((rules: String, ua: String, url: String) => {
+    // reference matches on Uri.toRelative.path (RobotsParser.scala:95) —
+    // path only, query excluded
+    val p = Option(url).flatMap(CUrl.parseAbsolute).map(_.path).getOrElse("/")
+    RobotRules.decode(rules).allowed(if (ua == null) "*" else ua, p)
+  })
+
+  /** P3/P4: parse a fetched robots.txt body; null ⇒ parse error ⇒ all-allowed
+    * (RobotsFilter.scala:99-103). */
+  val robotsParseUdf = udf((body: String) =>
+    try RobotRules.parse(if (body == null) "" else body).encode
+    catch { case _: Exception => null })
+
+  /** PSNR of an encoded payload vs the authoritative raster (input_hint). */
+  val psnrUdf = udf((imageId: String, bytes: Array[Byte]) =>
+    if (imageId == null || bytes == null) 0.0
+    else try ImageCodec.psnrVsReference(imageId, bytes)
+    catch { case _: Exception => 0.0 })
+
+  val refCaptionUdf = udf((imageId: String) =>
+    if (imageId == null) null else ImageCodec.caption(imageId))
+
+  def bloomContainsUdf(bloom: BloomFilter): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => s != null && bloom.mightContainString(s))
+
+  /** salted host bucket — pmod(xxhash64(host), n); built-in, codegen'd. */
+  def hostBucket(host: Column, n: Int): Column =
+    pmod(xxhash64(host), lit(n.toLong)).cast("int")
+}

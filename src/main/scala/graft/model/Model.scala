@@ -1,0 +1,113 @@
+package graft.model
+
+/**
+ * Row models for the engine's state tables (FIXTURES.md §2), mirroring the
+ * reference's case-class messages (reference: src/main/scala/es/udc/scrawl/
+ * Task.scala:9-15, master/Master.scala:24-39) flattened into columnar rows.
+ * The task identity is the canonical URL string itself, exactly as
+ * `Master.generateId(url) = url.toString()` (Master.scala:34-36).
+ */
+object Status {
+  val New = "New"
+  val InProgress = "InProgress"
+  val Completed = "Completed"
+  val WithError = "WithError"
+}
+
+/** Error reason classes — reference exception types, as strings. */
+object Reasons {
+  // reference: pipeline/RobotsFilter.scala:16
+  def robotsPathFiltered(ua: String) = s"RobotsPathFiltered($ua)"
+  // reference: pipeline/FilterHttpError.scala:11
+  def filteredHttpCode(status: Int) = s"FilteredHttpCode($status)"
+  // reference: pipeline/RetryHttpError.scala:10 (sic: "Masx")
+  val maxRetriesReached = "HttpErrorMaxRetriesReached"
+  // reference: Downloader.scala:44-48 — connection-level failure
+  val connectionError = "ConnectionError"
+  // reference: spray host-connector max-redirects=5, reference.conf:33
+  val maxRedirects = "MaxRedirectsReached"
+}
+
+/** One frontier row ≙ reference Task + TaskStatus (Master.scala:42). */
+final case class TaskRow(
+    url: String, // canonical URL = identity (Master.scala:34-36)
+    host: String, // authority, robots + politeness key
+    bucket: Int, // pmod(xxhash64(host), numBuckets) — partition key
+    depth: Int,
+    prio: Long, // cycle of first enqueue (BFS-layer observability)
+    status: String,
+    started: Long, // logical-clock cycle when claimed InProgress
+    retries: Int, // RetryHttpError count (RetryHttpError.scala:13)
+    reason: String) // null unless WithError
+
+/** Synthetic-web page (FIXTURES.md §1.2): what "HTTP fetch" joins against. */
+final case class PageRow(
+    url: String,
+    host: String,
+    status: Int,
+    content_type: String,
+    body: String,
+    image_id: String, // nullable
+    redirect_to: String) // nullable
+
+/** input_hint corpus row: image + caption pair. */
+final case class ImageRow(
+    image_id: String,
+    bytes: Array[Byte],
+    w: Int,
+    h: Int,
+    fmt: String,
+    caption: String,
+    phash: Long)
+
+/** robots state row ≙ RobotsFilter caches (RobotsFilter.scala:22-24). */
+final case class RobotsRow(
+    host: String,
+    all_allowed: Boolean,
+    rules: String, // RobotRules.encode wire form; null when all_allowed
+    fetched_cycle: Long)
+
+/** Validated output row (S7): image+caption payload extracted per page. */
+final case class OutputRow(
+    image_id: String,
+    bytes: Array[Byte],
+    w: Int,
+    h: Int,
+    fmt: String,
+    caption: String,
+    phash: Long,
+    src_url: String,
+    depth: Int,
+    cycle: Long,
+    psnr: Double,
+    caption_ok: Boolean)
+
+/** Per-cycle, per-bucket lineage/metrics row. */
+final case class LineageRow(
+    cycle: Long,
+    bucket: Int,
+    drained: Long,
+    fetched: Long,
+    completed: Long,
+    errors: Long,
+    retried: Long,
+    enqueued: Long,
+    deduped: Long,
+    deferred_robots: Long,
+    deferred_polite: Long,
+    output_rows: Long)
+
+/** Engine configuration ≙ reference.conf knobs (BASELINE.md §A). */
+final case class CrawlConfig(
+    maxDepth: Int = 2, // scrawl.max-depth-filter.max-depth
+    filterCodes: Set[Int] = Set(403, 500), // scrawl.filter-http-error.errors
+    retryCodes: Set[Int] = Set(404), // scrawl.retry-http-error.errors
+    maxRetries: Int = 1, // scrawl.retry-http-error.max-retries
+    hostBudget: Int = 10, // spray host-connector max-connections
+    maxRedirects: Int = 5, // spray host-connector max-redirects
+    staleCycles: Long = 1000L, // scrawl.master.retry-timeout, in cycles
+    userAgent: String = "Mozilla/5.0 (X11; Linux x86_64) GraftBot/0.1",
+    numBuckets: Int = 32,
+    useBloom: Boolean = true,
+    globalBatchCap: Int = Int.MaxValue, // per-cycle drain cap (reference pulls 25/manager, unbounded pulls/cycle)
+    usePolitenessMapGroups: Boolean = false) // window top-k (default) vs typed flatMapGroups token bucket

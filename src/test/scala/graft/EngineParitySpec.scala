@@ -1,0 +1,240 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import java.nio.file.Files
+import graft.model._
+import graft.corpus.Fixtures
+import graft.driver.CrawlEngine
+import graft.oracle.RefOracle
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+/**
+ * End-to-end crawl parity: the Spark engine must reproduce the
+ * reference-semantics oracle on every fixture (visited set, per-URL depth,
+ * final statuses incl. error reason classes, depth-layer ordering, output
+ * payload invariants). This is the Spark-side replay of the reference's
+ * NodeTest e2e plus each stage's behavioral suite (SURVEY §5).
+ */
+class EngineParitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def runBoth(pages: Seq[PageRow], seeds: Seq[String],
+      cfg: CrawlConfig = CrawlConfig()): (CrawlEngine, RefOracle.Outcome) = {
+    val dir = Files.createTempDirectory("graft-e2e").toString
+    val images = pages.filter(_.image_id != null).map { p =>
+      val id = p.image_id
+      val k = math.abs(graft.image.ImageCodec.seedOf(id))
+      val w = 16 + (k % 9).toInt
+      val h = 16 + ((k >> 4) % 9).toInt
+      val fmt = if (k % 2 == 0) "png" else "jpg"
+      ImageRow(id, graft.image.ImageCodec.encode(id, w, h, fmt), w, h, fmt,
+        graft.image.ImageCodec.caption(id), graft.image.ImageCodec.phash(id, w, h))
+    }
+    val engine = new CrawlEngine(spark, cfg,
+      spark.createDataset(pages).toDF(), spark.createDataset(images).toDF(), dir)
+    engine.run(seeds)
+    (engine, RefOracle.crawl(pages, seeds, cfg))
+  }
+
+  def assertParity(engine: CrawlEngine, oracle: RefOracle.Outcome,
+      checkLayers: Boolean = true): Unit = {
+    val frontier = engine.frontierNow
+      .select("url", "depth", "status", "reason", "started").collect()
+    val gotStatuses = frontier.map(r =>
+      r.getString(0) -> ((r.getString(2), Option(r.getString(3)).getOrElse("")))).toMap
+    val gotDepths = frontier.map(r => r.getString(0) -> r.getInt(1)).toMap
+
+    assert(gotStatuses.keySet === oracle.statuses.keySet, "URL-seen set")
+    assert(gotDepths === oracle.depths, "per-URL depth")
+    assert(gotStatuses === oracle.statuses, "final statuses + reasons")
+
+    val gotVisited = frontier.filter(_.getString(2) == Status.Completed)
+      .map(_.getString(0)).toSet
+    assert(gotVisited === oracle.visited, "visited set")
+
+    if (checkLayers) {
+      // depth-layer ordering: completed URLs grouped by claim cycle must
+      // equal the oracle's per-cycle layers (SURVEY §3.5 contract)
+      val gotLayers = frontier.filter(_.getString(2) == Status.Completed)
+        .groupBy(_.getLong(4)).toSeq.sortBy(_._1)
+        .map(_._2.map(_.getString(0)).sorted.toSeq)
+      assert(gotLayers === oracle.visitedByLayer, "depth-layer ordering")
+    }
+
+    // output payload invariants (input_hint): PSNR ≥ 40 dB + caption equality
+    val out = engine.outputNow
+      .select("image_id", "src_url", "depth", "psnr", "caption_ok").collect()
+    val gotOut = out.map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(gotOut === oracle.outputImages.toSet, "output image rows")
+    assert(out.forall(_.getDouble(3) >= 40.0), "PSNR >= 40dB per output row")
+    assert(out.forall(_.getBoolean(4)), "caption equality per output row")
+  }
+
+  test("site3 — NodeTest.scala:74-92: visited {/, /resource, /stuff}, depths {0,1,1}") {
+    val (e, o) = runBoth(Fixtures.site3, Fixtures.site3Seeds)
+    assertParity(e, o)
+    assert(o.visited === Set("http://host0.test/", "http://host0.test/resource",
+      "http://host0.test/stuff"))
+    assert(o.depths("http://host0.test/resource") === 1)
+    assert(o.outputImages.size === 3)
+  }
+
+  test("extractor — LinkExtractorTest: href forms, malformed/empty dropped") {
+    val (e, o) = runBoth(Fixtures.extractor, Fixtures.extractorSeeds)
+    assertParity(e, o)
+    assert(o.visited.contains("http://abs.test/x"))
+    assert(o.visited.contains("http://ex.test/relative"))
+    assert(o.visited.contains("http://ex.test/rootrel"))
+    assert(o.visited.contains("http://ex.test/protorel"))
+    assert(!o.statuses.keySet.exists(_.contains("bad")))
+  }
+
+  test("robots-basic — RobotsFilterTest:47-96: /path denied, /test crawled") {
+    val (e, o) = runBoth(Fixtures.robotsBasic, Fixtures.robotsBasicSeeds)
+    assertParity(e, o)
+    assert(o.visited.contains("http://rb.test/test"))
+    val (st, reason) = o.statuses("http://rb.test/path")
+    assert(st === Status.WithError && reason.startsWith("RobotsPathFiltered"))
+  }
+
+  test("robots-missing — 404/parse-error/absent robots ⇒ all allowed") {
+    val (e, o) = runBoth(Fixtures.robotsMissing, Fixtures.robotsMissingSeeds)
+    assertParity(e, o)
+    assert(o.visited.contains("http://ra.test/a"))
+    assert(o.visited.contains("http://rc.test/b"))
+    assert(o.visited.contains("http://rd.test/c"))
+  }
+
+  test("http-filter — FilterHttpErrorTest: 403/500 ⇒ WithError(FilteredHttpCode)") {
+    val (e, o) = runBoth(Fixtures.httpFilter, Fixtures.httpFilterSeeds)
+    assertParity(e, o)
+    assert(o.statuses("http://hf.test/forbidden") ===
+      ((Status.WithError, "FilteredHttpCode(403)")))
+    assert(o.statuses("http://hf.test/broken") ===
+      ((Status.WithError, "FilteredHttpCode(500)")))
+    assert(o.visited.contains("http://hf.test/fine"))
+  }
+
+  test("http-retry — RetryHttpErrorTest: 404 retried once then MaxRetries") {
+    val (e, o) = runBoth(Fixtures.httpRetry, Fixtures.httpRetrySeeds)
+    assertParity(e, o)
+    assert(o.statuses("http://hr.test/missing") ===
+      ((Status.WithError, Reasons.maxRetriesReached)))
+    val retries = e.frontierNow.filter($"url" === "http://hr.test/missing")
+      .select("retries").as[Int].head()
+    assert(retries === 1, "exactly one retry recorded")
+  }
+
+  test("depth — MaxDepthFilterTest: links dropped at depth >= 2 (inclusive)") {
+    val (e, o) = runBoth(Fixtures.depthChain, Fixtures.depthChainSeeds)
+    assertParity(e, o)
+    assert(o.visited === Set("http://dc.test/", "http://dc.test/b", "http://dc.test/c"))
+    assert(!o.statuses.contains("http://dc.test/d"), "d never enqueued")
+  }
+
+  test("ajax — AjaxLinksTransformTest: #! rewritten to _escaped_fragment_ and followed") {
+    val (e, o) = runBoth(Fixtures.ajax, Fixtures.ajaxSeeds)
+    assertParity(e, o)
+    assert(o.visited.contains("http://ax.test/?_escaped_fragment_=key%3Dvalue"))
+  }
+
+  test("dedup — MasterTest diamond: child crawled once, first-seen depth kept") {
+    val (e, o) = runBoth(Fixtures.dedupDiamond, Fixtures.dedupDiamondSeeds)
+    assertParity(e, o)
+    assert(o.depths("http://dd.test/child") === 2)
+    assert(o.visited.size === 4)
+  }
+
+  test("redirects — chains ≤5 followed, >5 error") {
+    val (e, o) = runBoth(Fixtures.redirects, Fixtures.redirectsSeeds)
+    assertParity(e, o)
+    assert(o.visited.contains("http://rr.test/hop0"), "5-hop chain resolves")
+    assert(o.statuses("http://rr.test/long0") ===
+      ((Status.WithError, Reasons.maxRedirects)))
+  }
+
+  test("hot-host — politeness budget respected per cycle; skew metrics emitted") {
+    val cfg = CrawlConfig(maxDepth = 10, hostBudget = 5)
+    val (e, o) = runBoth(Fixtures.hotHost, Fixtures.hotHostSeeds, cfg)
+    assertParity(e, o)
+    // politeness: no cycle drains more than budget rows for the hot host
+    val perCycle = e.frontierNow
+      .filter($"host" === "hot.test" && $"status" === Status.Completed)
+      .groupBy($"started").count().as[(Long, Long)].collect()
+    assert(perCycle.forall(_._2 <= cfg.hostBudget),
+      s"politeness violated: ${perCycle.mkString(",")}")
+    // lineage records deferred_polite > 0 at least once (60 pages / 5 budget)
+    val lin = e.lineageNow.groupBy().sum("deferred_polite").as[Long].head()
+    assert(lin > 0, "politeness deferral recorded in lineage")
+  }
+
+  test("politeness flatMapGroups variant produces identical crawl") {
+    val cfg = CrawlConfig(maxDepth = 10, hostBudget = 5, usePolitenessMapGroups = true)
+    val (e, o) = runBoth(Fixtures.hotHost, Fixtures.hotHostSeeds, cfg)
+    assertParity(e, o)
+  }
+
+  test("resume from snapshot reproduces the identical final state") {
+    val dir = Files.createTempDirectory("graft-resume").toString
+    val pages = Fixtures.hotHost
+    val cfg = CrawlConfig(maxDepth = 10, hostBudget = 5)
+    val mkEngine = () => new CrawlEngine(spark, cfg,
+      spark.createDataset(pages).toDF(),
+      spark.emptyDataset[ImageRow].toDF(), dir)
+    // run only 3 cycles, then "crash"
+    val e1 = mkEngine()
+    e1.init(Fixtures.hotHostSeeds)
+    (1L to 3L).foreach(e1.runCycle)
+    // resume in a fresh engine over the same state dir
+    val e2 = mkEngine()
+    e2.resume()
+    val oracle = RefOracle.crawl(pages, Fixtures.hotHostSeeds, cfg)
+    val got = e2.frontierNow.select("url", "status").as[(String, String)]
+      .collect().toMap
+    assert(got.keySet === oracle.statuses.keySet)
+    assert(got === oracle.statuses.map { case (u, (s, _)) => u -> s })
+  }
+
+  test("stale-retry — MasterTest.scala:128-138: stuck InProgress re-drained") {
+    // inject an InProgress row older than staleCycles directly, then cycle
+    val dir = Files.createTempDirectory("graft-stale").toString
+    val cfg = CrawlConfig(staleCycles = 2)
+    val pages = Fixtures.site3
+    val engine = new CrawlEngine(spark, cfg,
+      spark.createDataset(pages).toDF(), spark.emptyDataset[ImageRow].toDF(), dir)
+    engine.init(Fixtures.site3Seeds)
+    // simulate a claim that never completed: overwrite frontier with InProgress
+    val stuck = engine.frontierNow
+      .withColumn("status", org.apache.spark.sql.functions.lit(Status.InProgress))
+      .withColumn("started", org.apache.spark.sql.functions.lit(0L))
+    engine.snap.commit(cycle = 1,
+      cowTables = Map("frontier" -> ((stuck, "bucket",
+        stuck.select("bucket").distinct().as[Int].collect().toSet))))
+    // cycles 2..3: not yet stale (started=0, staleCycles=2 ⇒ drainable when c>2)
+    val (_, p2) = engine.runCycle(2)
+    assert(p2 === 0, "not yet stale at cycle 2")
+    val (_, p3) = engine.runCycle(3)
+    assert(p3 > 0, "stale InProgress re-drained at cycle 3")
+    var c = 4L
+    var going = true
+    while (going) { val (_, p) = engine.runCycle(c); going = p > 0; c += 1 }
+    val visited = engine.visited.select("url").as[String].collect().toSet
+    assert(visited === Set("http://host0.test/", "http://host0.test/resource",
+      "http://host0.test/stuff"))
+  }
+}
