@@ -1,13 +1,533 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.Files
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.CrawlFunctions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.robots.RobotRules
+
+/**
+ * Driver contract (SURVEY §2.5/§2.6): one query per operator family, each
+ * with a DuckDB-replayable ANSI-SQL oracle where the semantics are
+ * SQL-expressible (non-SQL-expressible ops — LSH ANN, SimHash, binary
+ * decode — carry no oracle and get the driver's rows-only check; their
+ * correctness is pinned by ScalaTest golden specs instead).
+ *
+ * Column names are aliased identically in the Spark plan and the oracle SQL
+ * (the driver's compare sorts columns by name before hashing). Integer
+ * aggregates are cast to BIGINT on both sides; doubles are produced by the
+ * same operation order on both engines and rounded.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /**
+   * Flagship: end-to-end crawl of the 3-page reference fixture site
+   * (reference NodeTest.scala:23-93) through the full micro-cycle engine —
+   * drain → robots → politeness → fetch-join → parse → dedup-enqueue →
+   * snapshot commit — returning the validated image+caption output table
+   * (3 rows, PSNR ≥ 40 dB, captions equal).
+   */
+  def entry(spark: SparkSession): DataFrame = {
+    import graft.corpus.Fixtures
+    import graft.driver.CrawlEngine
+    import graft.model.CrawlConfig
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-entry").toString
+    val pages = Fixtures.site3
+    val engine = new CrawlEngine(spark, CrawlConfig(),
+      spark.createDataset(pages).toDF(),
+      spark.createDataset(Fixtures.imagesFor(pages)).toDF(), dir)
+    engine.run(Fixtures.site3Seeds)
+    engine.outputNow
+  }
+
+  // ---- shared synthetic columns (crawl-domain ops exercised over the ----
+  // ---- deterministic documents table: same UDF code paths as the engine) --
+
+  private val RobotsFixture = "User-agent: *\nDisallow: /d/\nDisallow: /p3"
+  private lazy val RobotsFixtureEnc: String = RobotRules.parse(RobotsFixture).encode
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ================= relational core =================================
+    "q01_pricing_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q02_join_revenue" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation = broadcast(t(s, dir, "nation"))
+      val region = broadcast(t(s, dir, "region"))
+      orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    "q03_topk_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    "q04_setops_except" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.filter(col("lang") === "en").select("n_chars").distinct()
+        .except(d.filter(col("lang") === "zh").select("n_chars").distinct())
+    }),
+
+    "q05_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev", lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("events"),
+          sum(when(col("prev").isNull ||
+            unix_micros(col("ts").cast("timestamp")) - col("prev") > 1800000000L, 1L)
+            .otherwise(0L)).as("sessions"))
+    }),
+
+    // ================= crawl frontier / pipeline operators =============
+    // O1 — frontier drain: deterministic window top-k per partition key
+    "q10_o1_drain_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("rn"))
+    }),
+
+    // O3 — stale-retry drain: filter + sort desc + limit (top-k by staleness)
+    "q11_o3_stale_desc" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_type") === "error")
+        .orderBy(col("ts").desc, col("event_id"))
+        .limit(100)
+        .select(col("event_id"), col("user_id"), col("value"))),
+
+    // O5 — dedup enqueue: left_anti join vs the seen set
+    "q12_o5_dedup_antijoin" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seen = docs.filter(col("doc_id") < 100).select("n_chars").distinct()
+      docs.filter(col("doc_id") >= 100)
+        .join(seen, Seq("n_chars"), "left_anti")
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
+    // O6 — completion guard: left_semi join (results only for known tasks)
+    "q13_o6_complete_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("active_customers"))
+    }),
+
+    // O9 — completion detection: per-status aggregation
+    "q14_o9_status_counts" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // O12 — politeness: per-host budget cap, overflow deferred
+    "q15_o12_politeness_cap" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("user_id")
+        .agg(sum(when(col("rn") <= 5, 1L).otherwise(0L)).as("selected"),
+          sum(when(col("rn") > 5, 1L).otherwise(0L)).as("deferred"))
+    }),
+
+    // P6/P7 — staged outcome tagging (FilterHttpError / RetryHttpError)
+    "q16_p6_http_filter" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("outcome",
+          when(col("event_type") === "error", "ERROR")
+            .when(col("event_type") === "signup" && col("value") < 1.0, "RETRY")
+            .otherwise("OK"))
+        .groupBy("outcome").agg(count(lit(1)).as("cnt"))),
+
+    // P8 — MaxDepthFilter: links dropped past the depth cutoff (>= inclusive)
+    "q17_p8_depth_gate" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("n_chars") >= 300, lit(0L))
+            .otherwise(TextAnalysis.tokenCount(col("text"))).as("links_kept"))),
+
+    // X1 — extract + explode (the Generator/UDTF surface)
+    "q18_x1_token_explode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)),
+
+    // URL canonicalization — the engine's identity function (Master.generateId)
+    "q19_url_canonicalize" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          canonicalizeUdf(concat(
+            lit("HTTP://Host"), (col("doc_id") % 7).cast("string"),
+            lit(".TEST:80/a/./p"), col("doc_id").cast("string"),
+            lit("/../x?q="), col("doc_id").cast("string"))).as("url"))),
+
+    // P3/P4 — robots.txt gate: parse once, evaluate per URL
+    "q20_robots_gate" -> ((s, dir) => {
+      val path = when(col("doc_id") % 3 === 0,
+        concat(lit("/d/a"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("/p"), (col("doc_id") % 7).cast("string")))
+        .otherwise(concat(lit("/ok"), col("doc_id").cast("string")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), path.as("path"),
+          robotsAllowedUdf(lit(RobotsFixtureEnc), lit("TestBot/1.0"),
+            concat(lit("http://rb.test"), path)).as("allowed"))
+    }),
+
+    // X1 — link extraction + resolution (absolute / relative / empty / malformed)
+    "q21_link_extract" -> ((s, dir) => {
+      val base = concat(lit("http://h"), (col("doc_id") % 5).cast("string"),
+        lit(".test/dir/page"))
+      val body = concat(
+        lit("<a href=\"/x"), col("doc_id").cast("string"), lit("\">a</a>"),
+        lit("<a href=\"./r"), col("doc_id").cast("string"), lit("\">b</a>"),
+        lit("<a href=\"\">e</a><a href=\":/:/bad\">m</a>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(extractLinksUdf(body, base, lit("text/html"))).as("link"))
+    }),
+
+    // P5 — AJAX #! rewrite, then extraction of the rewritten link
+    "q22_ajax_rewrite" -> ((s, dir) => {
+      val base = concat(lit("http://h"), (col("doc_id") % 5).cast("string"),
+        lit(".test/dir/page"))
+      val body = concat(lit("<a href=\"#!sec"), col("doc_id").cast("string"),
+        lit("\">x</a>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(extractLinksUdf(
+            ajaxRewriteUdf(body, base, lit("text/html")),
+            base, lit("text/html"))).as("link"))
+    }),
+
+    // ================= training-data pipeline ==========================
+    "q30_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))),
+
+    "q31_text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    "q32_text_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "q33_text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    "q40_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val aug = docs.unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), upper(col("text")).as("text")))
+      Dedup.exactDedup(aug, "doc_id", "text").select("keep_id", "dups")
+    }),
+
+    "q41_dedup_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val aug = docs.unionByName(
+        docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" zqx7 vbn9")).as("text")))
+      Dedup.minhashPairs(aug, "doc_id", "text",
+        n = 3, bands = 32, rowsPerBand = 3, threshold = 0.7)
+    }),
+
+    "q42_dedup_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val aug = docs.unionByName(
+        docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" zqx7")).as("text")))
+      Dedup.simhashPairs(aug, "doc_id", "text", maxDist = 3)
+    }),
+
+    "q43_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      docs.as("x").join(docs.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+        .select(col("x.doc_id").as("a"),
+          Dedup.ngramJaccard(col("x.text"), col("y.text"), 2).as("jac"))
+    }),
+
+    "q44_embed_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      e.as("x").join(e.as("y"), col("y.vec_id") === col("x.vec_id") + 1)
+        .select(col("x.vec_id").as("vec_id"),
+          round(Similarity.cosine(col("x.v"), col("y.v")), 6).as("sim"))
+    }),
+
+    "q45_ann_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+    }),
+
+    "q46_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, planes = 8, dims = 64)
+    }),
+
+    "q47_multimodal_decode" -> ((s, dir) => {
+      val enc = udf((id: Long) => graft.image.ImageCodec.encode(
+        s"img-doc-$id", 16 + (id % 16).toInt, 16 + (id % 8).toInt,
+        if (id % 2 == 0) "png" else "jpg"))
+      val imgs = t(s, dir, "documents").select(col("doc_id"),
+        enc(col("doc_id")).as("bytes"))
+      Multimodal.withImageFeatures(imgs, "bytes")
+        .select(col("doc_id"), col("img_w"), col("img_h"), col("img_px"),
+          col("img_mean"), col("img_phash"))
+    }),
+
+    "q48_multimodal_resize" -> ((s, dir) => {
+      val enc = udf((id: Long) => graft.image.ImageCodec.encode(
+        s"img-doc-$id", 16 + (id % 16).toInt, 16 + (id % 8).toInt, "png"))
+      val imgs = t(s, dir, "documents").select(col("doc_id"),
+        Multimodal.resize(enc(col("doc_id")), lit(8), lit(8)).as("bytes"))
+      Multimodal.withImageFeatures(imgs, "bytes")
+        .select(col("doc_id"), col("img_w"), col("img_h"), col("img_px"),
+          col("img_phash"))
+    }))
+
+  // ---- oracle SQL (DuckDB dialect) — mirrors each query's semantics ------
+  // shared snippets
+  private val Toks = """list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)"""
+  private def toksOf(c: String) =
+    s"""list_filter(string_split_regex(trim($c), '\\s+'), x -> len(x) > 0)"""
+  private def sh3(tk: String) =
+    s"""CASE WHEN len($tk) < 3 THEN [array_to_string($tk, ' ')]
+       |ELSE list_distinct(list_transform(range(1, len($tk) - 1),
+       |  i -> array_to_string(list_slice($tk, i, i + 2), ' '))) END""".stripMargin
+  private val CosMirror =
+    """list_reduce(list_concat([0.0::DOUBLE], list_transform(range(1, len(a) + 1),
+      |  i -> a[i]::DOUBLE * b[i]::DOUBLE)), (x, y) -> x + y)
+      |/ (sqrt(list_reduce(list_concat([0.0::DOUBLE], list_transform(range(1, len(a) + 1),
+      |  i -> a[i]::DOUBLE * a[i]::DOUBLE)), (x, y) -> x + y))
+      | * sqrt(list_reduce(list_concat([0.0::DOUBLE], list_transform(range(1, len(b) + 1),
+      |  i -> b[i]::DOUBLE * b[i]::DOUBLE)), (x, y) -> x + y)))""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*)::BIGINT AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_join_revenue" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+        |  count(*)::BIGINT AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q03_topk_orders" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+
+    "q04_setops_except" ->
+      """SELECT DISTINCT n_chars FROM documents WHERE lang = 'en'
+        |EXCEPT SELECT DISTINCT n_chars FROM documents WHERE lang = 'zh'""".stripMargin,
+
+    "q05_sessionize" ->
+      """SELECT user_id, count(*)::BIGINT AS events,
+        |  sum(CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 1800000000 THEN 1 ELSE 0 END)::BIGINT AS sessions
+        |FROM (SELECT user_id, ts,
+        |        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |      FROM events) GROUP BY user_id""".stripMargin,
+
+    "q10_o1_drain_topk" ->
+      """SELECT user_id, event_id, rn FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin,
+
+    "q11_o3_stale_desc" ->
+      """SELECT event_id, user_id, value FROM events WHERE event_type = 'error'
+        |ORDER BY ts DESC, event_id LIMIT 100""".stripMargin,
+
+    "q12_o5_dedup_antijoin" ->
+      """SELECT doc_id, n_chars FROM documents d
+        |WHERE doc_id >= 100 AND NOT EXISTS (
+        |  SELECT 1 FROM documents s WHERE s.doc_id < 100 AND s.n_chars = d.n_chars)""".stripMargin,
+
+    "q13_o6_complete_semi" ->
+      """SELECT c_mktsegment AS mktsegment, count(*)::BIGINT AS active_customers
+        |FROM customer c WHERE EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q14_o9_status_counts" ->
+      "SELECT o_orderstatus AS status, count(*)::BIGINT AS cnt FROM orders GROUP BY o_orderstatus",
+
+    "q15_o12_politeness_cap" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END)::BIGINT AS selected,
+        |  sum(CASE WHEN rn > 5 THEN 1 ELSE 0 END)::BIGINT AS deferred
+        |FROM (SELECT user_id,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |      FROM events) GROUP BY user_id""".stripMargin,
+
+    "q16_p6_http_filter" ->
+      """SELECT CASE WHEN event_type = 'error' THEN 'ERROR'
+        |  WHEN event_type = 'signup' AND value < 1.0 THEN 'RETRY'
+        |  ELSE 'OK' END AS outcome, count(*)::BIGINT AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q17_p8_depth_gate" ->
+      s"""SELECT doc_id, (CASE WHEN n_chars >= 300 THEN 0
+         |  ELSE len($Toks) END)::BIGINT AS links_kept FROM documents""".stripMargin,
+
+    "q18_x1_token_explode" ->
+      s"""SELECT token, count(*)::BIGINT AS cnt FROM (
+         |  SELECT unnest($Toks) AS token FROM documents)
+         |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "q19_url_canonicalize" ->
+      """SELECT doc_id,
+        |  'http://host' || (doc_id % 7) || '.test/a/x?q=' || doc_id AS url
+        |FROM documents""".stripMargin,
+
+    "q20_robots_gate" ->
+      """SELECT doc_id, path,
+        |  NOT (starts_with(path, '/d/') OR path = '/p3') AS allowed
+        |FROM (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN '/d/a' || doc_id
+        |       WHEN doc_id % 3 = 1 THEN '/p' || (doc_id % 7)
+        |       ELSE '/ok' || doc_id END AS path FROM documents)""".stripMargin,
+
+    "q21_link_extract" ->
+      """SELECT doc_id, 'http://h' || (doc_id % 5) || '.test/x' || doc_id AS link FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'http://h' || (doc_id % 5) || '.test/dir/r' || doc_id AS link FROM documents""".stripMargin,
+
+    "q22_ajax_rewrite" ->
+      """SELECT doc_id,
+        |  'http://h' || (doc_id % 5) || '.test/?_escaped_fragment_=sec' || doc_id AS link
+        |FROM documents""".stripMargin,
+
+    "q30_text_stats" ->
+      s"""SELECT doc_id, len($Toks)::BIGINT AS n_tok,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe
+         |FROM documents""".stripMargin,
+
+    "q31_text_quality" ->
+      s"""SELECT doc_id, round(
+         |  least(1.0::DOUBLE, n_tok / 50.0)
+         |  * (1.0::DOUBLE - punct / len)
+         |  * (0.5::DOUBLE + 0.5::DOUBLE * least(1.0::DOUBLE, 8.0::DOUBLE * stop / n_tok)), 4) AS quality
+         |FROM (SELECT doc_id,
+         |  len($Toks)::DOUBLE AS n_tok,
+         |  len(text)::DOUBLE AS len,
+         |  (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE AS punct,
+         |  len(list_filter($Toks,
+         |    t -> t IN ('the','a','an','and','of','to','in','is')))::DOUBLE AS stop
+         |FROM documents)""".stripMargin,
+
+    "q32_text_langid" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |    WHEN en = best AND best > 0 THEN 'en'
+         |    WHEN de = best AND best > 0 THEN 'de'
+         |    WHEN fr = best AND best > 0 THEN 'fr'
+         |    WHEN es = best AND best > 0 THEN 'es'
+         |    ELSE 'und' END AS lang_pred
+         |FROM (SELECT doc_id, text, en, de, fr, es, greatest(en, de, fr, es) AS best
+         |  FROM (SELECT doc_id, text,
+         |    len(list_filter($Toks, t -> t IN ('the','a','is','of','and'))) AS en,
+         |    len(list_filter($Toks, t -> t IN ('der','und','die','das','ist'))) AS de,
+         |    len(list_filter($Toks, t -> t IN ('le','la','les','et','est'))) AS fr,
+         |    len(list_filter($Toks, t -> t IN ('el','los','las','y','es'))) AS es
+         |  FROM documents))""".stripMargin,
+
+    "q33_text_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        |  list_concat([7::BIGINT],
+        |    list_transform(list_filter(string_split(text, ''), c -> len(c) > 0),
+        |      c -> ascii(c)::BIGINT)),
+        |  (a, b) -> (a * 131 + b) % 1000000007) AS fp
+        |FROM documents""".stripMargin,
+
+    "q40_dedup_exact" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, upper(text) FROM documents WHERE doc_id % 5 = 0)
+        |SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS dups
+        |FROM aug GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin,
+
+    "q41_dedup_minhash" -> {
+      val tk = toksOf("text")
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text || ' zqx7 vbn9' FROM documents WHERE doc_id % 3 = 0),
+         |sh AS (SELECT doc_id, ${sh3(tk)} AS s FROM aug)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  round(len(list_intersect(x.s, y.s))::DOUBLE
+         |    / len(list_distinct(list_concat(x.s, y.s)))::DOUBLE, 4) AS jac
+         |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |  AND least(len(x.s), len(y.s))::DOUBLE / greatest(len(x.s), len(y.s))::DOUBLE >= 0.7
+         |WHERE round(len(list_intersect(x.s, y.s))::DOUBLE
+         |    / len(list_distinct(list_concat(x.s, y.s)))::DOUBLE, 4) >= 0.7""".stripMargin
+    },
+
+    "q43_ngram_jaccard" -> {
+      val shx = """CASE WHEN len(tx) < 2 THEN [array_to_string(tx, ' ')]
+                  |ELSE list_distinct(list_transform(range(1, len(tx)),
+                  |  i -> array_to_string(list_slice(tx, i, i + 1), ' '))) END""".stripMargin
+      val shy = shx.replace("tx", "ty")
+      s"""SELECT a, round(len(list_intersect(sx, sy))::DOUBLE
+         |  / len(list_distinct(list_concat(sx, sy)))::DOUBLE, 4) AS jac
+         |FROM (SELECT x.doc_id AS a, $shx AS sx, $shy AS sy
+         |  FROM (SELECT doc_id, ${toksOf("text")} AS tx FROM documents) x
+         |  JOIN (SELECT doc_id, ${toksOf("text")} AS ty FROM documents) y
+         |    ON y.doc_id = x.doc_id + 1)""".stripMargin
+    },
+
+    "q44_embed_neardup" ->
+      s"""SELECT vec_id, round($CosMirror, 6) AS sim
+         |FROM (SELECT x.vec_id AS vec_id, x.embedding AS a, y.embedding AS b
+         |  FROM embeddings x JOIN embeddings y ON y.vec_id = x.vec_id + 1)""".stripMargin,
+
+    "q45_ann_bruteforce" ->
+      s"""SELECT q_id, rank, neighbor, round(s, 6) AS sim FROM (
+         |  SELECT q_id, neighbor, s,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor) AS rank
+         |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS neighbor,
+         |      $CosMirror AS s
+         |    FROM (SELECT vec_id, embedding AS a FROM embeddings WHERE vec_id < 20) q
+         |    JOIN (SELECT vec_id, embedding AS b FROM embeddings) c ON c.vec_id <> q.vec_id))
+         |WHERE rank <= 5""".stripMargin)
 }

@@ -129,4 +129,17 @@ object Fixtures {
   }
   def hotHostSeeds = Seq("http://hot.test/", "http://cold1.test/",
     "http://cold2.test/", "http://cold3.test/")
+
+  /** Deterministic input_hint image rows for every image referenced by `pages`
+    * (same derivation the engine-parity suite uses). */
+  def imagesFor(pages: Seq[PageRow]): Seq[graft.model.ImageRow] =
+    pages.filter(_.image_id != null).map { p =>
+      val id = p.image_id
+      val k = math.abs(ImageCodec.seedOf(id))
+      val w = 16 + (k % 9).toInt
+      val h = 16 + ((k >> 4) % 9).toInt
+      val fmt = if (k % 2 == 0) "png" else "jpg"
+      graft.model.ImageRow(id, ImageCodec.encode(id, w, h, fmt), w, h, fmt,
+        ImageCodec.caption(id), ImageCodec.phash(id, w, h))
+    }
 }

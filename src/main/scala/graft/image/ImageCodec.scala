@@ -77,6 +77,17 @@ object ImageCodec {
     out
   }
 
+  /** Losslessly encode an existing RGB raster (w*h*3 bytes). */
+  def encodeRaster(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(px.length == w * h * 3, "raster size mismatch")
+    val out = new Array[Byte](6 + px.length)
+    out(0) = 'G'; out(1) = MagicLossless
+    out(2) = ((w >> 8) & 0xff).toByte; out(3) = (w & 0xff).toByte
+    out(4) = ((h >> 8) & 0xff).toByte; out(5) = (h & 0xff).toByte
+    System.arraycopy(px, 0, out, 6, px.length)
+    out
+  }
+
   /** Decode to (w, h, rgb). Throws on bad magic — corpus bytes are trusted. */
   def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     require(bytes.length >= 6 && bytes(0) == 'G', "bad image magic")

@@ -1,0 +1,164 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/**
+ * Deduplication operators for a training-data pipeline: exact (hash-groupBy),
+ * MinHash+LSH (shingle → minhash → band → bucket-join → exact-Jaccard
+ * verify), SimHash (hamming-banded), and n-gram Jaccard scoring.
+ *
+ * Scale design (100 TB story):
+ *  - candidate generation is a self-equi-join on (band, key) — a shuffle on
+ *    a high-cardinality key, never an all-pairs product;
+ *  - hot LSH buckets (boilerplate documents hash together) grow candidates
+ *    quadratically, so buckets larger than `maxBucket` are dropped and
+ *    accounted, exactly like skew-salting a join (a bucket of identical
+ *    boilerplate is better handled by exact dedup upstream);
+ *  - signatures are fixed-width arrays computed in one codegen'd projection
+ *    (built-in `xxhash64`/`transform`/`aggregate` — no UDF in the scan);
+ *  - the exact-verify join touches only candidate pairs (|pairs| ≪ |docs|²).
+ */
+object Dedup {
+
+  /** Canonical text form for exact dedup: lowercase, squeezed whitespace. */
+  def normalizeText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /**
+   * Exact duplicate groups by normalized text: one row per group with the
+   * smallest id as the keeper. groupBy on the text itself (not a hash) —
+   * Spark's hash aggregate already hashes the key, and keeping the key
+   * avoids collision risk at 10^12-doc scale.
+   */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(normalizeText(col(textCol)).as("norm_text"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dups"))
+
+  /** Word n-gram shingles (space-joined); short docs yield one whole-text shingle. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Distinct shingles — the set the Jaccard similarity is defined over. */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+
+  /** Exact Jaccard similarity of two array-of-string columns (as sets). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /**
+   * MinHash signature: `numHashes` permutations simulated by seeding the
+   * built-in xxhash64 with the permutation index; element i is the min hash
+   * of the shingle set under permutation i. One codegen'd projection.
+   */
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleSet, s => xxhash64(i, s))))
+
+  /** LSH band keys: hash of each contiguous `rowsPerBand` slice of the signature. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))))
+
+  /**
+   * MinHash+LSH near-duplicate pairs, exact-verified:
+   * shingle(n) → signature(bands*rowsPerBand) → band buckets → self-join →
+   * exact Jaccard ≥ threshold. Returns (a, b, jaccard) with a < b,
+   * jaccard rounded to 4 decimals.
+   *
+   * With bands=32, rowsPerBand=3 a true pair at J=0.8 is missed with
+   * probability (1-0.8³)^32 ≈ 1e-10 — the LSH stage is a recall-safe
+   * prefilter and the verify join makes precision exact.
+   */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 32,
+      rowsPerBand: Int = 3,
+      threshold: Double = 0.8,
+      maxBucket: Int = 1000): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
+    val buckets = docs.select(col("id"),
+        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
+    // skew guard: drop pathologically hot buckets (boilerplate clusters)
+    val sized = buckets.withColumn("bsz",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
+      .where(col("bsz") <= maxBucket).drop("bsz")
+    val cands = sized.as("x").join(sized.as("y"), Seq("band", "key"))
+      .where(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    cands
+      .join(docs.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(docs.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("jac", round(jaccard(col("sha"), col("shb")), 4))
+      .where(col("jac") >= threshold)
+      .select(col("a"), col("b"), col("jac"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens (two 32-bit murmurs combined). */
+  private[pipeline] def simhash64(toks: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      val h = (MurmurHash3.stringHash(t, 0x9747b28c).toLong << 32) |
+        (MurmurHash3.stringHash(t, 0x85ebca6b).toLong & 0xffffffffL)
+      var i = 0
+      while (i < 64) { if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  val simhashUdf = udf((text: String) =>
+    if (text == null) 0L
+    else simhash64(text.trim.split("\\s+").toSeq.filter(_.nonEmpty)))
+
+  val hammingUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+
+  /**
+   * SimHash near-duplicate pairs: candidates share at least one of the four
+   * 16-bit signature chunks (pigeonhole: any pair at hamming ≤ 3 must agree
+   * on one chunk), verified by exact hamming distance ≤ maxDist.
+   */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxDist <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
+    val docs = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sim"))
+    val chunks = array((0 until 4).map(c =>
+      shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xffffL))): _*)
+    val buckets = docs.select(col("id"), col("sim"),
+      posexplode(chunks).as(Seq("chunk", "key")))
+    val sized = buckets.withColumn("bsz",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("chunk", "key")))
+      .where(col("bsz") <= maxBucket).drop("bsz")
+    sized.as("x").join(sized.as("y"), Seq("chunk", "key"))
+      .where(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        hammingUdf(col("x.sim"), col("y.sim")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
+  /**
+   * n-gram Jaccard scorer for explicit pairs: callers join texts for (a, b)
+   * themselves; this scores them. Kept as a Column so it composes into any
+   * pair-generating plan (LSH candidates, blocking keys, consecutive ids).
+   */
+  def ngramJaccard(textA: Column, textB: Column, n: Int): Column =
+    round(jaccard(shingleSet(textA, n), shingleSet(textB, n)), 4)
+}

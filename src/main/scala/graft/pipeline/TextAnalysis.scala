@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a large-scale training-data pipeline, built
+ * entirely from `org.apache.spark.sql.functions` (codegen'd Catalyst
+ * expressions — no UDFs on the hot path, so whole-stage codegen spans the
+ * full projection).
+ *
+ * Every function here is a pure `Column => Column` combinator: it composes
+ * into any scan without forcing a shuffle, filters/pruning push past it into
+ * the parquet reader, and at 100 TB the cost is one codegen'd pass over the
+ * `text` column. All definitions are deterministic and mirrored 1:1 by ANSI
+ * SQL in [[graft.SparkEntry.oracleSql]] so DuckDB can replay them exactly.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens of a text column, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count (the "wc -w" baseline). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /**
+   * BPE-ish subword count: runs of letters, runs of digits, and each
+   * remaining non-space symbol count as one token — the standard cheap
+   * proxy for a byte-pair-encoded length (a regex scan, not a model).
+   */
+  val BpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeTokenRe)).cast("long")
+
+  /** Count of regex matches via replace-and-measure (codegen-friendly). */
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("long")
+
+  private val StopWords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+
+  /** Number of tokens that are common-English stopwords. */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(StopWords: _*))).cast("long")
+
+  /**
+   * Document quality score in [0,1] — the classic heuristic mix of length,
+   * punctuation and stopword signals used for corpus filtering:
+   *
+   *   score = min(1, n_tok/50) * (1 - punct/len) * (0.5 + 0.5*min(1, 8*stop/n_tok))
+   *
+   * rounded to 4 decimals. Deterministic double arithmetic with a fixed
+   * operation order so an independent SQL engine reproduces it bit-for-bit.
+   */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val len = length(text).cast("double")
+    val punct = punctCount(text).cast("double")
+    val stop = stopwordCount(text).cast("double")
+    val lenTerm = least(lit(1.0), nTok / lit(50.0))
+    val punctTerm = lit(1.0) - punct / len
+    val stopTerm = lit(0.5) + lit(0.5) * least(lit(1.0), lit(8.0) * stop / nTok)
+    round(lenTerm * punctTerm * stopTerm, 4)
+  }
+
+  /**
+   * Language-ID by marker-token voting (the n-gram-heuristic family: count
+   * hits against tiny per-language marker sets, argmax with a fixed
+   * priority order; CJK codepoints short-circuit to zh). Accuracy is that
+   * of any stopword heuristic — the operator contract is determinism and
+   * one codegen'd pass.
+   */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val hits = Markers.map { case (lang, ms) =>
+      lang -> size(filter(toks, t => t.isin(ms: _*)))
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val cjk = text.rlike("[\\u4e00-\\u9fff]")
+    // fixed priority: first language reaching the max wins
+    val byPriority = hits.foldRight(lit("und")) { case ((lang, h), el) =>
+      when(h === best && best > 0, lang).otherwise(el)
+    }
+    when(cjk, "zh").otherwise(byPriority)
+  }
+
+  /**
+   * Document fingerprint: polynomial rolling hash over codepoints,
+   * `acc := (acc*131 + code) mod 1e9+7`, seed 7 — a content-defined id that
+   * any engine can recompute (unlike xxhash64, whose exact constants differ
+   * across engines). One codegen'd `aggregate` over the char array.
+   */
+  def fingerprint(text: Column): Column = {
+    val chars = filter(split(text, ""), c => length(c) > 0)
+    aggregate(chars, lit(7L),
+      (acc, c) => pmod(acc * lit(131L) + ascii(c), lit(1000000007L)))
+  }
+}
