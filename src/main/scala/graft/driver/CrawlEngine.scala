@@ -39,7 +39,15 @@ final class CrawlEngine(
 
   val snap = new SnapTable(spark, s"$workDir/state")
   private val corpusPath = s"$workDir/corpus_resolved"
+  private val imagesPath = s"$workDir/images_resolved"
   private var seenCountEstimate: Long = 0L
+  // cycle-persistent URL-seen Bloom filter (north_star): rebuilt from the
+  // frontier when absent or outgrown, merged with each cycle's enqueued
+  // URLs otherwise (mergeInPlace requires identical sizing, so bloomItems
+  // is sticky until a rebuild). False positives fall through to the exact
+  // anti-join; false negatives are impossible, so dedup stays exact.
+  private var seenBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
+  private var bloomItems: Long = 0L
   private val RedirectCodes = Seq(301, 302, 303, 307, 308)
 
   /**
@@ -49,6 +57,12 @@ final class CrawlEngine(
    * equi-join per cycle at fetch time.
    */
   def prepareCorpus(): Unit = {
+    // materialize the images table once: the input may be a *generated*
+    // Dataset (bench/CrawlMain synthesize it), and every join against a
+    // generated plan would re-run the whole synthesis — parquet-backing it
+    // makes the per-cycle image join a columnar scan instead
+    if (!new java.io.File(imagesPath).exists())
+      images.write.mode("overwrite").parquet(imagesPath)
     if (new java.io.File(corpusPath).exists()) return
     val p = pages.select($"url", $"status", $"content_type", $"body",
       $"image_id", $"redirect_to")
@@ -79,6 +93,7 @@ final class CrawlEngine(
   }
 
   def resolvedCorpus: DataFrame = spark.read.parquet(corpusPath)
+  def resolvedImages: DataFrame = spark.read.parquet(imagesPath)
 
   /** Seed injection (S1): depth-0 New rows, deduped (Master.scala:104-113). */
   def init(seeds: Seq[String]): Unit = {
@@ -123,7 +138,17 @@ final class CrawlEngine(
    * Run one micro-cycle; returns (snapshot, drainedCount). drained == 0 with
    * robots-deferral impossible ⇒ Finished.
    */
-  def runCycle(cycle: Long): (snap.Snapshot, Long) = {
+  private def phaseTimed[T](label: String)(f: => T): T = {
+    if (!sys.env.get("GRAFT_CYCLE_TIMING").contains("1")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"  [phase $label] ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+  }
+
+  def runCycle(cycle: Long): (snap.Snapshot, Long, Long) = {
     val prev = snap.latest.getOrElse(sys.error("engine not initialized"))
     val frontier = loadFrontier(prev).persist(StorageLevel.MEMORY_AND_DISK)
     val robots = loadRobots(prev)
@@ -133,14 +158,16 @@ final class CrawlEngine(
     // ---- 2. POLITE (O12): ≤ hostBudget rows per host per cycle ----------
     val hostW = Window.partitionBy($"host").orderBy($"depth", $"prio", $"url")
     val polite0 =
-      if (config.usePolitenessMapGroups)
+      if (config.hostBudget >= Int.MaxValue / 2) drainable // unbounded budget: top-k is identity, skip the shuffle
+      else if (config.usePolitenessMapGroups)
         Politeness.tokenBucket(spark, drainable, config.hostBudget)
       else drainable.withColumn("rn", row_number().over(hostW))
           .filter($"rn" <= config.hostBudget).drop("rn")
-    val polite = if (config.globalBatchCap == Int.MaxValue) polite0
+    val polite = (if (config.globalBatchCap == Int.MaxValue) polite0
       else polite0.withColumn("grn",
           row_number().over(Window.orderBy($"depth", $"prio", $"url")))
-        .filter($"grn" <= config.globalBatchCap).drop("grn")
+        .filter($"grn" <= config.globalBatchCap).drop("grn"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- 3. ROBOTS gate (P3): known-allow / known-deny / defer+fetch ----
     val withRobots = polite.join(robots.hint("broadcast"), Seq("host"), "left")
@@ -170,8 +197,8 @@ final class CrawlEngine(
     val robotsNew = robotsResp.select($"host",
       ($"parsed".isNull).as("all_allowed"),
       $"parsed".as("rules"), lit(cycle).as("fetched_cycle"))
-    val robotsOut = robots.unionByName(robotsNew)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val robotsOut = robots.unionByName(robotsNew)
 
     // ---- 4. FETCH (S3/S4): equi-join claimed batch vs resolved corpus ---
     val claimed = allowed.select($"url", $"host", $"bucket", $"depth",
@@ -197,6 +224,7 @@ final class CrawlEngine(
             lit(Reasons.maxRetriesReached))
           .when($"f_status".isin(filtersLit: _*),
             concat(lit("FilteredHttpCode("), $"f_status", lit(")"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- 6. PARSE (X1-X3) + 7. DEPTH (P8) on OK responses ---------------
     val ok = responded.filter($"outcome" === "OK")
@@ -218,8 +246,8 @@ final class CrawlEngine(
     // ---- output rows (S7): image payload + per-row validation -----------
     val outRows = ok.filter($"f_image_id".isNotNull)
       .select($"f_image_id".as("image_id"), $"url".as("src_url"), $"depth")
-      .join(images, Seq("image_id"), "left")
-      .select($"image_id", $"bytes", $"w", $"h", $"fmt", $"caption",
+      .join(resolvedImages, Seq("image_id"), "left")
+      .select($"image_id", $"w", $"h", $"fmt", $"caption",
         $"phash", $"src_url", $"depth", lit(cycle).as("cycle"),
         psnrUdf($"image_id", $"bytes").as("psnr"),
         ($"caption" === refCaptionUdf($"image_id")).as("caption_ok"))
@@ -231,10 +259,15 @@ final class CrawlEngine(
     // min(depth) then BFS order (SURVEY §3.5)
     val batchLinks = rawLinks.groupBy($"url")
       .agg(min($"depth").as("depth"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (config.useBloom && (seenBloom.isEmpty || seenCountEstimate > bloomItems / 2)) {
+      bloomItems = math.max(math.max(seenCountEstimate * 4, bloomItems * 2), 1L << 20)
+      seenBloom = Some(phaseTimed("bloom-build")(
+        frontier.stat.bloomFilter("url", bloomItems, 0.01)))
+    }
     val preFiltered =
       if (config.useBloom && seenCountEstimate > 0) {
-        val bloom = frontier.stat.bloomFilter("url",
-          math.max(seenCountEstimate, 1000L), 0.01)
+        val bloom = seenBloom.get
         val mightContain = bloomContainsUdf(bloom)
         // bloom=no ⇒ definitely unseen (skip the exact join); bloom=maybe ⇒
         // confirm with exact left_anti
@@ -253,7 +286,66 @@ final class CrawlEngine(
       .withColumn("reason", lit(null).cast("string"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ---- 9. COMMIT: frontier COW on touched buckets + robots + output ---
+    // ---- materialize the heavy shared chain in ONE linear job -----------
+    // polite → robots-gate → fetch-join → respond → parse → explode →
+    // batchLinks is a straight line through every persisted intermediate;
+    // forcing it with a single count fills all the caches SEQUENTIALLY.
+    // Without this, the parallel branches of the stats union race to
+    // compute the same uncached ancestors concurrently (cache misses on
+    // both sides) and the parse/fetch work runs 2-3x.
+    val linksCount = phaseTimed("links")(batchLinks.count())
+
+    // ---- per-bucket lineage / metrics in ONE action ---------------------
+    // The reference's counters (Master.scala:46-47) are driver-side ints;
+    // ours are one unioned aggregate collected once per cycle — at scale,
+    // every extra .count() is a full job dispatch, so all remaining cycle
+    // statistics (per-bucket drain/enqueue lineage, deferral counters,
+    // touched-bucket set) ride a single collect over a few hundred rows.
+    def tagged(tag: String, df: DataFrame): DataFrame = df.select(
+      lit(tag).as("tag"),
+      (if (df.columns.contains("bucket")) $"bucket" else lit(-1)).as("bucket"),
+      (if (df.columns.contains("v1")) $"v1" else lit(0L)).cast("long").as("v1"),
+      (if (df.columns.contains("v2")) $"v2" else lit(0L)).cast("long").as("v2"),
+      (if (df.columns.contains("v3")) $"v3" else lit(0L)).cast("long").as("v3"),
+      (if (df.columns.contains("v4")) $"v4" else lit(0L)).cast("long").as("v4"))
+    val stats = tagged("out", outcomes.groupBy($"bucket").agg(
+        count(lit(1)).as("v1"),
+        sum(when($"outcome" === "OK", 1L).otherwise(0L)).as("v2"),
+        sum(when($"outcome" === "ERROR", 1L).otherwise(0L)).as("v3"),
+        sum(when($"outcome" === "RETRY", 1L).otherwise(0L)).as("v4")))
+      .unionByName(tagged("new", newRows.groupBy($"bucket").agg(count(lit(1)).as("v1"))))
+      .unionByName(tagged("robdef", robotsUnknown.agg(count(lit(1)).as("v1"))))
+      .unionByName(tagged("robnew", robotsNew.agg(count(lit(1)).as("v1"))))
+      .unionByName(tagged("drainable", drainable.agg(count(lit(1)).as("v1"))))
+      .unionByName(tagged("polite", polite.agg(count(lit(1)).as("v1"))))
+    val statsRows = phaseTimed("stats")(stats.collect())
+
+    def one(tag: String): Long = statsRows.collectFirst {
+      case r if r.getString(0) == tag => r.getLong(2) }.getOrElse(0L)
+    val outStats = statsRows.filter(_.getString(0) == "out")
+    val newStats = statsRows.filter(_.getString(0) == "new")
+    val drainedCount = outStats.map(_.getLong(2)).sum
+    val enqueuedCount = newStats.map(_.getLong(2)).sum
+    val dedupCount = linksCount - enqueuedCount
+    val deferredRobots = one("robdef")
+    val robotsFetched = one("robnew")
+    val deferredPolite = one("drainable") - one("polite")
+    seenCountEstimate += enqueuedCount
+
+    val touched = (outStats.map(_.getInt(1)) ++ newStats.map(_.getInt(1))).toSet
+
+    // incremental URL-seen Bloom maintenance: fold this cycle's enqueued
+    // URLs in with an identically-sized sketch (O(enqueued), not O(frontier))
+    if (config.useBloom && enqueuedCount > 0) phaseTimed("bloom-merge")(seenBloom.foreach {
+      _.mergeInPlace(newRows.stat.bloomFilter("url", bloomItems, 0.01))
+    })
+
+    // ---- 9. COMMIT: frontier COW restricted to touched buckets ----------
+    // The status-update join runs over ONLY the buckets drained or enqueued
+    // this cycle (drained rows' buckets are by construction inside
+    // `touched`), so per-cycle cost scales with the batch, not with a
+    // 10^10-row frontier; untouched bucket files carry forward in the
+    // manifest without being read or rewritten.
     val updates = outcomes.select($"url",
       when($"outcome" === "OK", Status.Completed)
         .when($"outcome" === "ERROR", Status.WithError)
@@ -262,6 +354,7 @@ final class CrawlEngine(
       $"reason".as("u_reason"),
       lit(cycle).as("u_started"))
     val frontierNext = frontier
+      .filter(if (touched.isEmpty) lit(false) else $"bucket".isin(touched.toSeq: _*))
       .join(updates.hint("shuffle_hash"), Seq("url"), "left")
       .select($"url", $"host", $"bucket", $"depth", $"prio",
         coalesce($"u_status", $"status").as("status"),
@@ -270,55 +363,40 @@ final class CrawlEngine(
         coalesce($"u_reason", $"reason").as("reason"))
       .unionByName(newRows.select($"url", $"host", $"bucket", $"depth",
         $"prio", $"status", $"started", $"retries", $"reason"))
+    val enqByBucket = newStats.map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val lineageRows: Seq[LineageRow] = {
+      val outBuckets = outStats.map { r =>
+        LineageRow(cycle, r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(3),
+          r.getLong(4), r.getLong(5), enqByBucket.getOrElse(r.getInt(1), 0L),
+          dedupCount, deferredRobots, deferredPolite, 0L)
+      }
+      val onlyNew = (enqByBucket.keySet -- outStats.map(_.getInt(1)).toSet).toSeq
+        .map(b => LineageRow(cycle, b, 0L, 0L, 0L, 0L, 0L, enqByBucket(b),
+          dedupCount, deferredRobots, deferredPolite, 0L))
+      outBuckets.toSeq ++ onlyNew
+    }
+    val lineage = spark.createDataset(lineageRows).toDF()
 
-    // per-bucket lineage / metrics (north_rule: per-partition lineage)
-    val drainedByBucket = outcomes.groupBy($"bucket").agg(
-      count(lit(1)).as("drained"),
-      sum(when($"outcome" === "OK", 1L).otherwise(0L)).as("completed"),
-      sum(when($"outcome" === "ERROR", 1L).otherwise(0L)).as("errors"),
-      sum(when($"outcome" === "RETRY", 1L).otherwise(0L)).as("retried"))
-    val enqByBucket = newRows.groupBy($"bucket")
-      .agg(count(lit(1)).as("enqueued"))
-    val dedupCount = batchLinks.count() - newRows.count()
-    val deferredRobots = robotsUnknown.count()
-    val deferredPolite = drainable.count() - polite.count()
-    val lineage = drainedByBucket.join(enqByBucket, Seq("bucket"), "full")
-      .select(lit(cycle).as("cycle"), $"bucket",
-        coalesce($"drained", lit(0L)).as("drained"),
-        coalesce($"completed", lit(0L)).as("fetched"),
-        coalesce($"completed", lit(0L)).as("completed"),
-        coalesce($"errors", lit(0L)).as("errors"),
-        coalesce($"retried", lit(0L)).as("retried"),
-        coalesce($"enqueued", lit(0L)).as("enqueued"),
-        lit(dedupCount).as("deduped"),
-        lit(deferredRobots).as("deferred_robots"),
-        lit(deferredPolite).as("deferred_polite"),
-        lit(0L).as("output_rows"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val touched = (outcomes.select($"bucket").distinct()
-      .unionByName(newRows.select($"bucket").distinct()))
-      .distinct().as[Int].collect().toSet
-    val drainedCount = outcomes.count()
-    val enqueuedCount = newRows.count()
-    seenCountEstimate += enqueuedCount
-    val robotsFetched = robotsNew.count()
-
-    val s = snap.commit(cycle,
+    val s = phaseTimed("commit")(snap.commit(cycle,
       cowTables = Map("frontier" -> ((frontierNext, "bucket", touched))),
       fullTables = if (robotsFetched > 0) Map("robots" -> robotsOut.drop("bucket")) else Map.empty,
-      appends = Map("output" -> outRows, "lineage" -> lineage.toDF()),
+      appends = Map("output" -> outRows, "lineage" -> lineage),
       metrics = Map(
         "cycle" -> cycle.toDouble,
         "drained" -> drainedCount.toDouble,
         "enqueued" -> enqueuedCount.toDouble,
         "deduped" -> dedupCount.toDouble,
         "robots_fetched" -> robotsFetched.toDouble,
-        "deferred_robots" -> deferredRobots.toDouble))
+        "deferred_robots" -> deferredRobots.toDouble)))
 
-    Seq(frontier, robotsUnknown, claimed, ok, outcomes, newRows, robotsOut,
-      lineage).foreach(_.unpersist())
-    (s, drainedCount + robotsFetched)
+    Seq(frontier, polite, robotsUnknown, claimed, responded, ok, outcomes,
+      newRows, robotsNew, batchLinks).foreach(_.unpersist())
+    // O9 from this cycle's stats: work remains iff something was enqueued,
+    // deferred (robots/politeness) or re-enqueued for retry — saves the
+    // final empty confirmation cycle (and its full plan/codegen cost)
+    val retriedCount = outStats.map(_.getLong(5)).sum
+    val pending = enqueuedCount + deferredRobots + deferredPolite + retriedCount
+    (s, drainedCount + robotsFetched, pending)
   }
 
   /** Drive cycles until Finished (O9/O10); returns final snapshot. */
@@ -328,9 +406,12 @@ final class CrawlEngine(
     var done = false
     var last = snap.latest.get
     while (!done && cycle <= maxCycles) {
-      val (s, progressed) = runCycle(cycle)
+      val t0 = System.nanoTime()
+      val (s, progressed, pending) = runCycle(cycle)
+      if (sys.env.get("GRAFT_CYCLE_TIMING").contains("1"))
+        System.err.println(f"[cycle $cycle] ${(System.nanoTime() - t0) / 1e9}%.2fs progressed=$progressed pending=$pending")
       last = s
-      if (progressed == 0) done = true
+      if (progressed == 0 || pending == 0) done = true
       cycle += 1
     }
     last
@@ -346,9 +427,9 @@ final class CrawlEngine(
     var done = false
     var last = snap.latest.get
     while (!done && cycle <= start + maxCycles) {
-      val (s, progressed) = runCycle(cycle)
+      val (s, progressed, pending) = runCycle(cycle)
       last = s
-      if (progressed == 0) done = true
+      if (progressed == 0 || pending == 0) done = true
       cycle += 1
     }
     last

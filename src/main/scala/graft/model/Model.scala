@@ -67,10 +67,13 @@ final case class RobotsRow(
     rules: String, // RobotRules.encode wire form; null when all_allowed
     fetched_cycle: Long)
 
-/** Validated output row (S7): image+caption payload extracted per page. */
+/** Validated output row (S7): image+caption pair extracted per page.
+  * Carries the payload REFERENCE (image_id) + validation evidence
+  * (psnr, caption_ok, phash), not the raw bytes: at 10^10-URL scale the
+  * output table must not duplicate the corpus pixels; bytes stay in the
+  * immutable corpus files and join back by image_id when needed. */
 final case class OutputRow(
     image_id: String,
-    bytes: Array[Byte],
     w: Int,
     h: Int,
     fmt: String,

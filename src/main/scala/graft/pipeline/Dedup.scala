@@ -85,24 +85,31 @@ object Dedup {
       rowsPerBand: Int = 3,
       threshold: Double = 0.8,
       maxBucket: Int = 1000): DataFrame = {
+    // signature + shingle set computed ONCE and cached: every downstream
+    // branch (bucket explode, both sides of the self-join, both verify
+    // joins) would otherwise recompute bands*rowsPerBand xxhash64 passes
+    // over every shingle — the dominant cost of the whole operator.
     val docs = df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = docs.select(col("id"),
         posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
     // skew guard: drop pathologically hot buckets (boilerplate clusters)
     val sized = buckets.withColumn("bsz",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
       .where(col("bsz") <= maxBucket).drop("bsz")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = sized.as("x").join(sized.as("y"), Seq("band", "key"))
       .where(col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    cands
+    val out = cands
       .join(docs.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(docs.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
       .withColumn("jac", round(jaccard(col("sha"), col("shb")), 4))
       .where(col("jac") >= threshold)
       .select(col("a"), col("b"), col("jac"))
+    out
   }
 
   /** 64-bit SimHash over whitespace tokens (two 32-bit murmurs combined). */

@@ -86,21 +86,26 @@ final class SnapTable(spark: SparkSession, root: String) {
       cowTables: Map[String, (DataFrame, String, Set[Int])] = Map.empty,
       appends: Map[String, DataFrame] = Map.empty,
       metrics: Map[String, Double] = Map.empty): Snapshot = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val parent = latest
     val version = parent.map(_.version + 1).getOrElse(0L)
 
     var tables: TableState = parent.map(_.tables).getOrElse(Map.empty)
     var appended: Map[String, List[String]] = parent.map(_.appended).getOrElse(Map.empty)
 
-    fullTables.foreach { case (name, df) =>
+    // all data files of the snapshot are independent — launch every table's
+    // write as a concurrent Spark job and wait; the manifest (the only
+    // atomicity point) is written strictly after all data lands
+    val fullJobs = fullTables.toSeq.map { case (name, df) =>
       val dir = s"$root/data/$name/c$cycle"
-      df.write.mode("overwrite").parquet(dir)
-      tables += name -> Map(-1 -> dir)
+      (Future { df.write.mode("overwrite").parquet(dir) },
+        () => { tables += name -> Map(-1 -> dir) })
     }
 
-    cowTables.foreach { case (name, (df, bucketCol, changed)) =>
-      val prev = tables.getOrElse(name, Map.empty)
-      if (changed.nonEmpty) {
+    val cowJobs = cowTables.toSeq.collect {
+      case (name, (df, bucketCol, changed)) if changed.nonEmpty =>
         // write only the changed buckets — one sub-dir per bucket via
         // partitionBy (a single Spark job); carry the rest forward.
         // NOTE: partitionBy drops the partition column from the data files;
@@ -108,20 +113,32 @@ final class SnapTable(spark: SparkSession, root: String) {
         // the engine re-derives `bucket` from `host` after load (cheap,
         // deterministic) — see CrawlEngine.loadFrontier.
         val cycleDir = s"$root/data/$name/c$cycle"
-        df.filter(df(bucketCol).isin(changed.toSeq: _*))
-          .write.mode("overwrite").partitionBy(bucketCol).parquet(cycleDir)
-        val written: Map[Int, String] = changed.iterator.map { b =>
-          b -> s"$cycleDir/$bucketCol=$b"
-        }.filter { case (_, p) => Files.exists(Paths.get(p)) }.toMap
-        val carried = prev.filter { case (b, _) => !changed.contains(b) }
-        tables += name -> (carried ++ written)
-      }
+        // co-locate each bucket in one task before partitionBy: without the
+        // repartition every task writes a file per bucket it holds
+        // (tasks x buckets tiny files — the classic partitioned-write
+        // explosion); with it each bucket lands as one file
+        (Future {
+          df.filter(df(bucketCol).isin(changed.toSeq: _*))
+            .repartition(df(bucketCol))
+            .write.mode("overwrite").partitionBy(bucketCol).parquet(cycleDir)
+        }, () => {
+          val prev = tables.getOrElse(name, Map.empty)
+          val written: Map[Int, String] = changed.iterator.map { b =>
+            b -> s"$cycleDir/$bucketCol=$b"
+          }.filter { case (_, p) => Files.exists(Paths.get(p)) }.toMap
+          val carried = prev.filter { case (b, _) => !changed.contains(b) }
+          tables += name -> (carried ++ written)
+        })
     }
 
-    appends.foreach { case (name, df) =>
+    val appendJobs = appends.toSeq.map { case (name, df) =>
       val dir = s"$root/data/$name/c$cycle"
-      df.write.mode("overwrite").parquet(dir)
-      appended += name -> (appended.getOrElse(name, Nil) :+ dir)
+      (Future { df.write.mode("overwrite").parquet(dir) },
+        () => { appended += name -> (appended.getOrElse(name, Nil) :+ dir) })
+    }
+
+    (fullJobs ++ cowJobs ++ appendJobs).foreach { case (job, apply) =>
+      Await.result(job, Duration.Inf); apply()
     }
 
     val snap = Snapshot(version, cycle, tables, appended, metrics)

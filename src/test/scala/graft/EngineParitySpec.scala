@@ -226,13 +226,13 @@ class EngineParitySpec extends AnyFunSuite {
       cowTables = Map("frontier" -> ((stuck, "bucket",
         stuck.select("bucket").distinct().as[Int].collect().toSet))))
     // cycles 2..3: not yet stale (started=0, staleCycles=2 ⇒ drainable when c>2)
-    val (_, p2) = engine.runCycle(2)
+    val (_, p2, _) = engine.runCycle(2)
     assert(p2 === 0, "not yet stale at cycle 2")
-    val (_, p3) = engine.runCycle(3)
+    val (_, p3, _) = engine.runCycle(3)
     assert(p3 > 0, "stale InProgress re-drained at cycle 3")
     var c = 4L
     var going = true
-    while (going) { val (_, p) = engine.runCycle(c); going = p > 0; c += 1 }
+    while (going) { val (_, p, _) = engine.runCycle(c); going = p > 0; c += 1 }
     val visited = engine.visited.select("url").as[String].collect().toSet
     assert(visited === Set("http://host0.test/", "http://host0.test/resource",
       "http://host0.test/stuff"))

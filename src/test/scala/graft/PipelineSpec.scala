@@ -1,0 +1,229 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.image.ImageCodec
+
+/**
+ * Training-data pipeline operators (SURVEY §2.6): golden + property checks
+ * for text analysis, dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard),
+ * embedding similarity search (brute force + LSH recall), and multimodal
+ * binary-column plumbing.
+ */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  // ---- text analysis ----------------------------------------------------
+
+  test("tokenCount: whitespace tokens, empties dropped") {
+    val out = docs((1L, "  a  b\tc "), (2L, ""), (3L, "one"))
+      .select($"doc_id", TextAnalysis.tokenCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("bpeTokenCount: letter runs, digit runs, single symbols") {
+    val out = docs((1L, "hello world42, x!"))
+      .select(TextAnalysis.bpeTokenCount($"text")).as[Long].head()
+    // hello | world | 42 | , | x | ! = 6
+    assert(out === 6L)
+  }
+
+  test("quality score bounded to [0,1] and favors long clean text") {
+    val out = docs(
+      (1L, ("the quick brown fox jumps over a lazy dog and runs far " * 5).trim),
+      (2L, "!!! ??? ###"))
+      .select($"doc_id", TextAnalysis.qualityScore($"text").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > 0.8 && out(1L) <= 1.0)
+    assert(out(2L) < 0.2)
+  }
+
+  test("langId marker voting with CJK short-circuit") {
+    val out = docs(
+      (1L, "the cat is of the house and a dog"),
+      (2L, "der hund und die katze ist das"),
+      (3L, "le chat et la maison les arbres est"),
+      (4L, "el gato y los perros las casas es"),
+      (5L, "wibble wobble zork"),
+      (6L, "mixed 中文 text"))
+      .select($"doc_id", TextAnalysis.langId($"text").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es",
+      5L -> "und", 6L -> "zh"))
+  }
+
+  test("fingerprint: polynomial rolling hash, golden value + sensitivity") {
+    // acc over "ab": ((7*131+97)%M)*131+98 = 132932
+    val out = docs((1L, "ab"), (2L, "ba"), (3L, "ab"))
+      .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 132932L)
+    assert(out(1L) === out(3L))
+    assert(out(1L) !== out(2L))
+  }
+
+  // ---- dedup ------------------------------------------------------------
+
+  test("exactDedup groups case/whitespace variants, keeps min id") {
+    val out = Dedup.exactDedup(docs(
+      (10L, "Hello  World"), (3L, "hello world"), (7L, "other text")),
+      "doc_id", "text")
+      .select("keep_id", "dups")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(3L -> 2L, 7L -> 1L))
+  }
+
+  test("shingleSet: word n-grams; short docs fall back to whole text") {
+    val sh = docs((1L, "a b c d"))
+      .select(Dedup.shingleSet($"text", 3)).as[Seq[String]].head()
+    assert(sh.toSet === Set("a b c", "b c d"))
+    val short = docs((1L, "a b"))
+      .select(Dedup.shingleSet($"text", 3)).as[Seq[String]].head()
+    assert(short === Seq("a b"))
+  }
+
+  test("minhashPairs finds every planted near-dup and nothing below threshold") {
+    val base = (0L until 40L).map(i =>
+      i -> (0 until 30).map(j =>
+        s"w${math.floorMod(ImageCodec.mix64(i * 1000 + j), 99991)}").mkString(" "))
+    val mutated = base.filter(_._1 % 4 == 0).map { case (i, t) =>
+      (i + 1000L) -> (t + " zz9") }
+    val aug = docs((base ++ mutated): _*)
+    val pairs = Dedup.minhashPairs(aug, "doc_id", "text",
+      n = 3, bands = 32, rowsPerBand = 3, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = base.filter(_._1 % 4 == 0).map(p => (p._1, p._1 + 1000L)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet === expected)
+    assert(pairs.forall(_._3 >= 0.7))
+  }
+
+  test("simhashPairs: mutants at small hamming distance found, verified") {
+    val base = (0L until 30L).map(i =>
+      i -> (0 until 40).map(j => s"w${(i * 53 + j * 17) % 509}").mkString(" "))
+    val mutated = base.filter(_._1 % 5 == 0).map { case (i, t) => (i + 1000L) -> t }
+    val aug = docs((base ++ mutated): _*)
+    // identical texts => hamming 0: banding MUST find all planted pairs
+    val pairs = Dedup.simhashPairs(aug, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val expected = base.filter(_._1 % 5 == 0).map(p => (p._1, p._1 + 1000L)).toSet
+    assert(expected.subsetOf(pairs.map(p => (p._1, p._2)).toSet))
+    assert(pairs.forall(_._3 <= 3))
+  }
+
+  test("ngramJaccard golden: identical=1, disjoint=0, half overlap") {
+    val df = Seq((1L, "a b c", "a b c"), (2L, "a b", "c d"),
+      (3L, "a b c", "b c d")).toDF("id", "ta", "tb")
+    val out = df.select($"id", Dedup.ngramJaccard($"ta", $"tb", 2).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) === 1.0)
+    assert(out(2L) === 0.0)
+    assert(out(3L) === 0.3333) // {ab,bc} vs {bc,cd}: 1/3 rounded
+  }
+
+  // ---- similarity search ------------------------------------------------
+
+  private def vecsDf(n: Int, dims: Int) = {
+    val rows = (0 until n).map { i =>
+      val v = Array.tabulate(dims) { d =>
+        (math.floorMod(ImageCodec.mix64(i.toLong * 131 + d), 2001) - 1000) / 1000.0f
+      }
+      (i.toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cosine: orthogonal=0, identical=1") {
+    val df = Seq(
+      (1L, Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (2L, Seq(1.0, 2.0), Seq(1.0, 2.0))).toDF("id", "a", "b")
+    val out = df.select($"id", Similarity.cosine($"a", $"b").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L)) < 1e-12)
+    assert(math.abs(out(2L) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK: k results per query, ranked desc, no self-match") {
+    val vecs = vecsDf(60, 16)
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      vecs.filter($"vec_id" < 3), "vec_id", "embedding", k = 5).collect()
+    assert(out.length === 15)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to 5L))
+      val sims = sorted.map(_.getDouble(3)).toSeq
+      assert(sims === sims.sorted.reverse, "ranked by descending sim")
+      assert(!rows.exists(r => r.getLong(2) == r.getLong(0)), "no self-match")
+    }
+  }
+
+  test("lshTopK: bucketed candidates only, decent top-1 recall vs brute force") {
+    val vecs = vecsDf(300, 32)
+    val queries = vecs.filter($"vec_id" < 40)
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val lsh = Similarity.lshTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 1, planes = 2, dims = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // single-probe LSH over weakly-structured random vectors: recall is
+    // bounded by P(top-1 shares all sign bits) — assert well above the
+    // 1/300 random-pick floor, not exactness
+    val hits = brute.count { case (q, n) => lsh.get(q).contains(n) }
+    assert(hits >= 10, s"top-1 recall too low: $hits/40")
+  }
+
+  // ---- multimodal -------------------------------------------------------
+
+  private val encPng16x12 =
+    udf((i: Long) => ImageCodec.encode(s"img-$i", 16, 12, "png"))
+  private val encPng20x20 =
+    udf((i: Long) => ImageCodec.encode(s"img-$i", 20, 20, "png"))
+
+  test("decodeMeta: real decode of the engine codec, deterministic features") {
+    val df = Seq(1L, 2L).toDF("id").select($"id",
+      encPng16x12($"id").as("bytes"))
+    val out = Multimodal.withImageFeatures(df, "bytes")
+      .select("id", "img_w", "img_h", "img_px", "img_phash").collect()
+    out.foreach { r =>
+      assert(r.getInt(1) === 16 && r.getInt(2) === 12)
+      assert(r.getLong(3) === 16L * 12 * 3)
+    }
+    assert(out.map(_.getLong(4)).distinct.length === 2, "phash differs per image")
+  }
+
+  test("resize: nearest-neighbour to 8x8, lossless re-encode roundtrips") {
+    val df = Seq(5L).toDF("id").select($"id",
+      encPng20x20($"id").as("bytes"))
+    val resized = df.select(Multimodal.resize($"bytes", lit(8), lit(8)).as("b"))
+      .as[Array[Byte]].head()
+    val (w, h, px) = ImageCodec.decode(resized)
+    assert((w, h) === (8, 8))
+    assert(px.length === 8 * 8 * 3)
+  }
+
+  test("frameSample: every k-th frame of a concatenated binary") {
+    val video = Array.tabulate(40)(_.toByte) // 10 frames of 4 bytes
+    val df = Seq((1L, video)).toDF("id", "bytes")
+    val frames = df.select(Multimodal.frameSample($"bytes", lit(4), lit(3)).as("f"))
+      .as[Seq[Array[Byte]]].head()
+    assert(frames.length === 4) // frames 0,3,6,9
+    assert(frames.head.toSeq === Seq[Byte](0, 1, 2, 3))
+    assert(frames(1).toSeq === Seq[Byte](12, 13, 14, 15))
+  }
+
+  test("stub codecs are deterministic and shape-correct") {
+    val b = Array[Byte](1, 2, 3)
+    val df = Seq((1L, b), (2L, b)).toDF("id", "bytes")
+    val rasters = df.select(Multimodal.StubCodecs.decodeJpegStub($"bytes").as("r"))
+      .as[Array[Byte]].collect()
+    assert(rasters(0).toSeq === rasters(1).toSeq, "same bytes => same fake raster")
+    assert(rasters(0).length === 8 * 8 * 3)
+  }
+}
