@@ -26,7 +26,14 @@ import graft.model.CrawlConfig
 object Bench {
 
   private def mkSpark(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
+    // shuffle/spill files follow the bench state onto tmpfs: this VM's
+    // block device is both slow and noisy, and a disk-bound shuffle wave
+    // serializes the whole stage regardless of core count
+    val localDir = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (Files.isWritable(shm)) s"/dev/shm/spark-local-$cores-${ProcessHandle.current().pid()}" else null
+    }
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions",
@@ -35,6 +42,7 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val s = (if (localDir != null) b.config("spark.local.dir", localDir) else b)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -72,8 +80,17 @@ object Bench {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val fetched = statuses.getOrElse("Completed", 0L) +
         statuses.getOrElse("WithError", 0L)
-      CrawlRun(cores, seeds.size.toLong, fetched, seeds.size.toLong, secs)
+      val run = CrawlRun(cores, seeds.size.toLong, fetched, seeds.size.toLong, secs)
+      // tmpfs hygiene: drop this trial's corpus + snapshots so successive
+      // trials don't accumulate gigabytes of shared-memory state
+      deleteRec(new java.io.File(dir))
+      run
     } finally spark.stop()
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
   }
 
   /**
@@ -137,10 +154,12 @@ object Bench {
       ts.foreach(_.join())
       threads * iters / ((System.nanoTime() - t0) / 1e9)
     }
-    aggPerSec(n1) // warmup both JIT and clocks
-    val a = aggPerSec(n1)
-    val b = aggPerSec(n2)
-    b / (n2.toDouble / n1 * a)
+    aggPerSec(n1); aggPerSec(n2) // warmup JIT and clocks
+    // best-of-3 per width (host time-sharing depresses arbitrary trials);
+    // a cap > 1 is physically impossible — clamp, leaving normalization a no-op
+    val a = (1 to 3).map(_ => aggPerSec(n1)).max
+    val b = (1 to 3).map(_ => aggPerSec(n2)).max
+    math.min(1.0, b / (n2.toDouble / n1 * a))
   }
 
   def main(args: Array[String]): Unit = {
@@ -176,35 +195,45 @@ object Bench {
     spark.stop()
 
     // ---- part 2: crawl throughput at two parallelism levels ------------
-    // N=4 and 4N=16 cores (both well inside this VM's 32 physical cores);
-    // interleaved trials, min per level (the host is a noisy neighbor —
-    // identical runs vary up to 3x, and min is the standard robust
-    // estimator for "what the code actually costs").
+    // N=4 and 4N=16 cores (both well inside this VM's 32 physical cores).
+    // Two scaling views, because the host time-shares its CPUs and
+    // identical runs vary up to 3-4x:
+    //  - STRONG: same 600k-URL frontier at both widths, min over trials;
+    //  - WEAK (Gustafson): fixed per-core load — pages/4 URLs at 4 cores
+    //    vs pages URLs at 16; efficiency = T_lo/T_hi (1.0 = perfect).
+    // All trials interleave and report raw per-trial times for
+    // transparency; the hardware's own turbo cap is calibrated first.
     val nLo = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4").toInt
     val nHi = 4 * nLo
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
-    val (cLo, cHi) =
-      if (skipCrawl) (None, None)
-      else {
-        val runs = (1 to trials).flatMap(_ =>
-          Seq(crawlBenchIsolated(nLo, benchHosts, benchPages),
-            crawlBenchIsolated(nHi, benchHosts, benchPages)).flatten)
-        (runs.filter(_.cores == nLo).sortBy(_.secs).headOption,
-          runs.filter(_.cores == nHi).sortBy(_.secs).headOption)
-      }
-    val eff = for (a <- cLo; b <- cHi) yield b.fetchedPerSec / (4.0 * a.fetchedPerSec)
     val hwCap = if (skipCrawl) 1.0 else hwScalingCap(nLo, nHi)
+    var runsLo = List.empty[CrawlRun] // nLo cores, full pages (strong)
+    var runsHi = List.empty[CrawlRun] // nHi cores, full pages (strong+weak)
+    var runsWk = List.empty[CrawlRun] // nLo cores, pages/4 (weak)
+    if (!skipCrawl) (1 to trials).foreach { _ =>
+      runsLo = runsLo ++ crawlBenchIsolated(nLo, benchHosts, benchPages)
+      runsHi = runsHi ++ crawlBenchIsolated(nHi, benchHosts, benchPages)
+      runsWk = runsWk ++ crawlBenchIsolated(nLo, benchHosts / 4, benchPages / 4)
+    }
+    val cLo = runsLo.sortBy(_.secs).headOption
+    val cHi = runsHi.sortBy(_.secs).headOption
+    val cWk = runsWk.sortBy(_.secs).headOption
+    val effStrong = for (a <- cLo; b <- cHi) yield b.fetchedPerSec / (4.0 * a.fetchedPerSec)
+    // weak: per-core load equal; perfect scaling => equal wall time
+    val effWeak = for (a <- cWk; b <- cHi) yield a.secs / b.secs
 
     def f(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val qs = results.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val crawlJson = (for (a <- cLo; b <- cHi; e <- eff) yield
+    def trialsJson(rs: List[CrawlRun]) = rs.map(r => f(r.secs)).mkString("[", ",", "]")
+    val crawlJson = (for (a <- cLo; b <- cHi; w <- cWk; es <- effStrong; ew <- effWeak) yield
       s""","crawl":{"pages":${a.pages},""" +
-        s""""local$nLo":{"secs":${f(a.secs)},"fetched_per_sec":${f(a.fetchedPerSec)},"enqueue_per_sec":${f(a.enqueuePerSec)}},""" +
-        s""""local$nHi":{"secs":${f(b.secs)},"fetched_per_sec":${f(b.fetchedPerSec)},"enqueue_per_sec":${f(b.enqueuePerSec)}},""" +
-        s""""scaling_efficiency":${f(e)},""" +
-        s""""hw_scaling_cap":${f(hwCap)},""" +
-        s""""scaling_efficiency_hw_normalized":${f(e / hwCap)}}""").getOrElse("")
+        s""""local$nLo":{"secs":${f(a.secs)},"fetched_per_sec":${f(a.fetchedPerSec)},"enqueue_per_sec":${f(a.enqueuePerSec)},"trials":${trialsJson(runsLo)}},""" +
+        s""""local$nHi":{"secs":${f(b.secs)},"fetched_per_sec":${f(b.fetchedPerSec)},"enqueue_per_sec":${f(b.enqueuePerSec)},"trials":${trialsJson(runsHi)}},""" +
+        s""""weak_local$nLo":{"pages":${w.pages},"secs":${f(w.secs)},"fetched_per_sec":${f(w.fetchedPerSec)},"trials":${trialsJson(runsWk)}},""" +
+        s""""scaling_efficiency_strong":${f(es)},""" +
+        s""""scaling_efficiency_weak":${f(ew)},""" +
+        s""""hw_scaling_cap":${f(hwCap)}}""").getOrElse("")
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$crawlJson}""")
   }
 }

@@ -120,6 +120,45 @@ final class CrawlEngine(
       metrics = Map("seeded" -> seeds.size.toDouble))
   }
 
+  /**
+   * Mid-crawl seed injection (S2 — the reference's remote AddTasks entry
+   * point, reference AddTasks.scala:42-48 sending NewTasks to the master):
+   * dedups against the live frontier (O5: first insertion wins,
+   * Master.scala:104-113) and commits unseen URLs as depth-0 New rows.
+   * Returns the number of rows actually enqueued.
+   */
+  def addSeeds(seeds: Seq[String]): Long = {
+    val prev = snap.latest.getOrElse(sys.error("engine not initialized"))
+    val frontier = loadFrontier(prev)
+    val rows = seeds.toDF("raw")
+      .select(canonicalizeUdf($"raw").as("url")).filter($"url".isNotNull)
+      .dropDuplicates("url")
+      .join(frontier.select("url"), Seq("url"), "left_anti")
+      .withColumn("host", hostOfUdf($"url"))
+      .withColumn("depth", lit(0))
+      .withColumn("prio", lit(prev.cycle))
+      .withColumn("status", lit(Status.New))
+      .withColumn("started", lit(-1L))
+      .withColumn("retries", lit(0))
+      .withColumn("reason", lit(null).cast("string"))
+      .withColumn("bucket", hostBucket($"host", config.numBuckets))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val touched = rows.select("bucket").distinct().as[Int].collect().toSet
+    val added = if (touched.isEmpty) 0L else {
+      val next = frontier
+        .filter($"bucket".isin(touched.toSeq: _*))
+        .unionByName(rows.select(frontier.columns.map(col): _*))
+      val n = rows.count()
+      snap.commit(prev.cycle,
+        cowTables = Map("frontier" -> ((next, "bucket", touched))),
+        metrics = Map("seeds_added" -> n.toDouble))
+      seenCountEstimate += n
+      n
+    }
+    rows.unpersist()
+    added
+  }
+
   def loadFrontier(s: snap.Snapshot): DataFrame =
     snap.readTable(s, "frontier").get
       .withColumn("bucket", hostBucket($"host", config.numBuckets))
@@ -417,12 +456,18 @@ final class CrawlEngine(
     last
   }
 
-  /** Resume from the latest committed snapshot (exactness: SURVEY §7.2). */
-  def resume(maxCycles: Int = 1000): snap.Snapshot = {
+  /** Reopen state for a resumed crawl: corpus + bloom sizing estimate. */
+  def prepareResume(): Unit = {
     prepareCorpus()
-    val start = snap.latest.getOrElse(sys.error("nothing to resume")).cycle + 1
+    require(snap.latest.nonEmpty, "nothing to resume")
     // rebuild the seen estimate for bloom sizing
     seenCountEstimate = math.max(loadFrontier(snap.latest.get).count(), 1L)
+  }
+
+  /** Resume from the latest committed snapshot (exactness: SURVEY §7.2). */
+  def resume(maxCycles: Int = 1000): snap.Snapshot = {
+    prepareResume()
+    val start = snap.latest.getOrElse(sys.error("nothing to resume")).cycle + 1
     var cycle = start
     var done = false
     var last = snap.latest.get

@@ -99,7 +99,7 @@ final class SnapTable(spark: SparkSession, root: String) {
     // write as a concurrent Spark job and wait; the manifest (the only
     // atomicity point) is written strictly after all data lands
     val fullJobs = fullTables.toSeq.map { case (name, df) =>
-      val dir = s"$root/data/$name/c$cycle"
+      val dir = s"$root/data/$name/v$version"
       (Future { df.write.mode("overwrite").parquet(dir) },
         () => { tables += name -> Map(-1 -> dir) })
     }
@@ -112,7 +112,7 @@ final class SnapTable(spark: SparkSession, root: String) {
         // readTable recovers it from the dir name via basePath-less read, so
         // the engine re-derives `bucket` from `host` after load (cheap,
         // deterministic) — see CrawlEngine.loadFrontier.
-        val cycleDir = s"$root/data/$name/c$cycle"
+        val cycleDir = s"$root/data/$name/v$version"
         // co-locate each bucket in one task before partitionBy: without the
         // repartition every task writes a file per bucket it holds
         // (tasks x buckets tiny files — the classic partitioned-write
@@ -132,7 +132,7 @@ final class SnapTable(spark: SparkSession, root: String) {
     }
 
     val appendJobs = appends.toSeq.map { case (name, df) =>
-      val dir = s"$root/data/$name/c$cycle"
+      val dir = s"$root/data/$name/v$version"
       (Future { df.write.mode("overwrite").parquet(dir) },
         () => { appended += name -> (appended.getOrElse(name, Nil) :+ dir) })
     }
