@@ -70,17 +70,19 @@ object Bench {
         CrawlConfig(hostBudget = Int.MaxValue / 2, maxDepth = 2), pagesDf,
         imagesDf, dir)
       engine.prepareCorpus() // one-time setup excluded from the timed region
-      val seeds = spark.read.parquet(s"$dir/corpus_resolved")
+      val seedsDf = spark.read.parquet(s"$dir/corpus_resolved")
         .filter(!col("src_url").endsWith("/robots.txt"))
-        .select("src_url").collect().map(_.getString(0)).toSeq
+        .select(col("src_url").as("raw"))
       val t0 = System.nanoTime()
-      engine.run(seeds)
+      engine.initSeeds(seedsDf) // distributed: seeds never touch the driver
+      engine.drive()
       val secs = (System.nanoTime() - t0) / 1e9
+      val seeded = engine.snap.readSnapshot(0).metrics("seeded").toLong
       val statuses = engine.frontierNow.groupBy("status").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val fetched = statuses.getOrElse("Completed", 0L) +
         statuses.getOrElse("WithError", 0L)
-      val run = CrawlRun(cores, seeds.size.toLong, fetched, seeds.size.toLong, secs)
+      val run = CrawlRun(cores, seeded, fetched, seeded, secs)
       // tmpfs hygiene: drop this trial's corpus + snapshots so successive
       // trials don't accumulate gigabytes of shared-memory state
       deleteRec(new java.io.File(dir))
@@ -205,7 +207,7 @@ object Bench {
     // transparency; the hardware's own turbo cap is calibrated first.
     val nLo = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4").toInt
     val nHi = 4 * nLo
-    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
     val hwCap = if (skipCrawl) 1.0 else hwScalingCap(nLo, nHi)
     var runsLo = List.empty[CrawlRun] // nLo cores, full pages (strong)
     var runsHi = List.empty[CrawlRun] // nHi cores, full pages (strong+weak)

@@ -96,12 +96,19 @@ final class CrawlEngine(
   def resolvedImages: DataFrame = spark.read.parquet(imagesPath)
 
   /** Seed injection (S1): depth-0 New rows, deduped (Master.scala:104-113). */
-  def init(seeds: Seq[String]): Unit = {
+  def init(seeds: Seq[String]): Unit = initSeeds(seeds.toDF("raw"))
+
+  /**
+   * Distributed seed injection: `seedsRaw` is any DataFrame with a `raw`
+   * URL column. Seeds never pass through the driver — a 10^10-URL seed
+   * list stays a distributed scan end to end.
+   */
+  def initSeeds(seedsRaw: DataFrame): Unit = {
     require(snap.latestVersion.isEmpty,
       s"$workDir already holds crawl state (snapshot v${snap.latestVersion.get}); " +
         "use resume() or point at a fresh workdir")
     prepareCorpus()
-    val rows = seeds.toDF("raw")
+    val rows = seedsRaw
       .select(canonicalizeUdf($"raw").as("url")).filter($"url".isNotNull)
       .dropDuplicates("url")
       .withColumn("host", hostOfUdf($"url"))
@@ -112,12 +119,15 @@ final class CrawlEngine(
       .withColumn("retries", lit(0))
       .withColumn("reason", lit(null).cast("string"))
       .withColumn("bucket", hostBucket($"host", config.numBuckets))
-    val buckets = rows.select("bucket").distinct().as[Int].collect().toSet
-    seenCountEstimate = seeds.size.toLong
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val perBucket = rows.groupBy($"bucket").agg(count(lit(1))).collect()
+    val buckets = perBucket.map(_.getInt(0)).toSet
+    seenCountEstimate = perBucket.map(_.getLong(1)).sum
     snap.commit(cycle = 0,
       cowTables = Map("frontier" -> ((rows, "bucket", buckets))),
       fullTables = Map("robots" -> spark.emptyDataset[RobotsRow].toDF()),
-      metrics = Map("seeded" -> seeds.size.toDouble))
+      metrics = Map("seeded" -> seenCountEstimate.toDouble))
+    rows.unpersist(): Unit
   }
 
   /**
@@ -283,9 +293,14 @@ final class CrawlEngine(
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- output rows (S7): image payload + per-row validation -----------
-    val outRows = ok.filter($"f_image_id".isNotNull)
+    // join direction matters at scale: broadcast the (small) batch keys to
+    // the images table so the pixel bytes are validated IN PLACE — a
+    // shuffle join here would move the whole payload column across the
+    // cluster just to compute a per-row PSNR
+    val okImages = ok.filter($"f_image_id".isNotNull)
       .select($"f_image_id".as("image_id"), $"url".as("src_url"), $"depth")
-      .join(resolvedImages, Seq("image_id"), "left")
+    val outRows = resolvedImages
+      .join(broadcast(okImages), Seq("image_id"), "inner")
       .select($"image_id", $"w", $"h", $"fmt", $"caption",
         $"phash", $"src_url", $"depth", lit(cycle).as("cycle"),
         psnrUdf($"image_id", $"bytes").as("psnr"),
@@ -441,6 +456,11 @@ final class CrawlEngine(
   /** Drive cycles until Finished (O9/O10); returns final snapshot. */
   def run(seeds: Seq[String], maxCycles: Int = 1000): snap.Snapshot = {
     init(seeds)
+    drive(maxCycles)
+  }
+
+  /** Drive micro-cycles over an already-seeded frontier until Finished. */
+  def drive(maxCycles: Int = 1000): snap.Snapshot = {
     var cycle = 1L
     var done = false
     var last = snap.latest.get
