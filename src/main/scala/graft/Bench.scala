@@ -207,7 +207,7 @@ object Bench {
     // transparency; the hardware's own turbo cap is calibrated first.
     val nLo = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4").toInt
     val nHi = 4 * nLo
-    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
     val hwCap = if (skipCrawl) 1.0 else hwScalingCap(nLo, nHi)
     var runsLo = List.empty[CrawlRun] // nLo cores, full pages (strong)
     var runsHi = List.empty[CrawlRun] // nHi cores, full pages (strong+weak)
