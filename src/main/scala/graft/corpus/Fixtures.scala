@@ -115,6 +115,14 @@ object Fixtures {
   }
   def redirectsSeeds = Seq("http://rr.test/")
 
+  /** addSeeds regression: a page crawled AFTER seed injection links back to
+    * the injected seed — O5 must not re-enqueue it (the seen filter has to
+    * cover mid-crawl injections, not just cycle-committed rows). */
+  def loopback: Seq[PageRow] = Seq(
+    page("http://bb.test/", html("/loop")),
+    page("http://bb.test/loop", html("/")))
+  def loopbackSeeds = Seq("http://bb.test/")
+
   /** north_rule hot-host skew: one host with 60 pages, three with 2. */
   def hotHost: Seq[PageRow] = {
     val hot = (0 until 60).map { i =>

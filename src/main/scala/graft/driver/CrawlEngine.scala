@@ -1,9 +1,11 @@
 package graft.driver
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
+import org.apache.spark.util.sketch.BloomFilter
 import graft.model._
 import graft.functions.CrawlFunctions._
 import graft.plans.SnapTable
@@ -41,14 +43,52 @@ final class CrawlEngine(
   private val corpusPath = s"$workDir/corpus_resolved"
   private val imagesPath = s"$workDir/images_resolved"
   private var seenCountEstimate: Long = 0L
-  // cycle-persistent URL-seen Bloom filter (north_star): rebuilt from the
-  // frontier when absent or outgrown, merged with each cycle's enqueued
-  // URLs otherwise (mergeInPlace requires identical sizing, so bloomItems
-  // is sticky until a rebuild). False positives fall through to the exact
-  // anti-join; false negatives are impossible, so dedup stays exact.
-  private var seenBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
-  private var bloomItems: Long = 0L
+  // Cycle-persistent URL-seen filter (north_star), two-level:
+  //  - MAIN covers the whole frontier as of its last rebuild (amortized
+  //    O(1)/url: rebuilt only when the seen count doubles);
+  //  - RECENT covers every url enqueued since that rebuild (per-cycle merge
+  //    cost is O(enqueued): the merge sketch is sized to the recent window,
+  //    never to the full frontier).
+  // Both ship to executors via sc.broadcast. A url is "maybe seen" iff
+  // either sketch says so; false positives fall through to the exact
+  // anti-join, false negatives are impossible because every enqueue path
+  // (runCycle commit AND mid-crawl addSeeds) feeds RECENT before the next
+  // drain — so dedup stays exact.
+  private var mainBloom: Option[Broadcast[BloomFilter]] = None
+  private var mainItems: Long = 0L
+  private var recentMaster: Option[BloomFilter] = None
+  private var recentBloom: Option[Broadcast[BloomFilter]] = None
+  private var recentItems: Long = 1L << 17
+  private var recentCount: Long = 0L
   private val RedirectCodes = Seq(301, 302, 303, 307, 308)
+
+  /** Rebuild MAIN from the live frontier when it is absent or outgrown, or
+    * when RECENT has outgrown its sizing (then RECENT also doubles). */
+  private def ensureBloom(frontier: DataFrame): Unit = {
+    if (!config.useBloom) return
+    val mainStale = mainBloom.isEmpty || seenCountEstimate > mainItems / 2
+    val recentFull = recentCount > recentItems / 2
+    if (!mainStale && !recentFull) return
+    if (recentFull) recentItems *= 2
+    mainItems = math.max(math.max(seenCountEstimate * 4, mainItems), 1L << 20)
+    val fresh = phaseTimed("bloom-build")(
+      frontier.stat.bloomFilter("url", mainItems, 0.01))
+    mainBloom.foreach(_.unpersist(false))
+    mainBloom = Some(spark.sparkContext.broadcast(fresh))
+    recentMaster = Some(BloomFilter.create(recentItems, 0.01))
+    recentCount = 0L
+    rebroadcastRecent()
+  }
+
+  /** Broadcast a frozen copy of RECENT (the driver-side master keeps
+    * mutating; broadcasts must be immutable snapshots). */
+  private def rebroadcastRecent(): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    recentMaster.get.writeTo(bos)
+    val frozen = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bos.toByteArray))
+    recentBloom.foreach(_.unpersist(false))
+    recentBloom = Some(spark.sparkContext.broadcast(frozen))
+  }
 
   /**
    * Pre-resolve redirect chains once per run (S4): spray's host connector
@@ -163,6 +203,16 @@ final class CrawlEngine(
         cowTables = Map("frontier" -> ((next, "bucket", touched))),
         metrics = Map("seeds_added" -> n.toDouble))
       seenCountEstimate += n
+      // injected seeds must become visible to the URL-seen filter BEFORE the
+      // next drain: a later-crawled page linking back to an injected seed
+      // would otherwise take the "bloom says no => definitely unseen" fast
+      // path and re-enqueue a duplicate. Feeding RECENT (superset is fine —
+      // dedup-dropped urls only add harmless maybes) keeps O5 exact.
+      recentMaster.foreach { r =>
+        seeds.iterator.flatMap(graft.urls.CUrl.canonicalize).foreach(r.putString)
+        recentCount += n
+        rebroadcastRecent()
+      }
       n
     }
     rows.unpersist()
@@ -213,10 +263,18 @@ final class CrawlEngine(
       else drainable.withColumn("rn", row_number().over(hostW))
           .filter($"rn" <= config.hostBudget).drop("rn")
     val polite = (if (config.globalBatchCap == Int.MaxValue) polite0
-      else polite0.withColumn("grn",
-          row_number().over(Window.orderBy($"depth", $"prio", $"url")))
-        .filter($"grn" <= config.globalBatchCap).drop("grn"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      else {
+        // bounded cycles via PER-BUCKET quotas: a global Window.orderBy
+        // would funnel every drainable row through ONE partition to rank it;
+        // capping each hostBucket at ceil(cap / numBuckets) keeps the plan
+        // fully parallel (WindowGroupLimit folds the top-k map-side) and
+        // still bounds the batch at <= cap rows
+        val quota = math.max(1L,
+          (config.globalBatchCap.toLong + config.numBuckets - 1) / config.numBuckets)
+        polite0.withColumn("grn", row_number().over(
+            Window.partitionBy($"bucket").orderBy($"depth", $"prio", $"url")))
+          .filter($"grn" <= quota).drop("grn")
+      }).persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- 3. ROBOTS gate (P3): known-allow / known-deny / defer+fetch ----
     val withRobots = polite.join(robots.hint("broadcast"), Seq("host"), "left")
@@ -249,11 +307,30 @@ final class CrawlEngine(
       .persist(StorageLevel.MEMORY_AND_DISK)
     val robotsOut = robots.unionByName(robotsNew)
 
-    // ---- 4. FETCH (S3/S4): equi-join claimed batch vs resolved corpus ---
+    // ---- 4. FETCH (S3/S4): stream the corpus ONCE against broadcast batch
+    // keys (reference Downloader.scala:30-49). A shuffle join here would
+    // move the ENTIRE corpus — body column included — across the cluster
+    // every micro-cycle; instead the claimed batch broadcasts into the
+    // corpus scan (inner join = hits, bodies never leave their partitions),
+    // and fetch misses (connection errors) come from a second, column-pruned
+    // url-only pass. Batch size is bounded by hostBudget/globalBatchCap, so
+    // the broadcast stays executor-memory-sized at any frontier scale.
     val claimed = allowed.select($"url", $"host", $"bucket", $"depth",
       $"prio", $"retries").persist(StorageLevel.MEMORY_AND_DISK)
-    val fetched = claimed.join(
-      resolvedCorpus.withColumnRenamed("src_url", "url"), Seq("url"), "left")
+    val corpus = resolvedCorpus.withColumnRenamed("src_url", "url")
+    val hits = corpus.join(broadcast(claimed), Seq("url"), "inner")
+    // urls claimed but absent from the corpus => connection error; the semi
+    // join reads only the corpus url column (pruned scan, no bodies)
+    val present = corpus.select($"url")
+      .join(broadcast(claimed.select($"url")), Seq("url"), "left_semi")
+    val misses = claimed.join(broadcast(present), Seq("url"), "left_anti")
+      .withColumn("f_status", lit(null).cast("int"))
+      .withColumn("f_ct", lit(null).cast("string"))
+      .withColumn("f_body", lit(null).cast("string"))
+      .withColumn("f_image_id", lit(null).cast("string"))
+      .withColumn("hops", lit(0))
+      .withColumn("f_err", lit(null).cast("string"))
+    val fetched = hits.unionByName(misses)
 
     // ---- 5. RESPOND: retry(404) → filter(403,500) → ajax rewrite --------
     // response leg order per reference.conf:66-71 traversed right-to-left:
@@ -299,12 +376,26 @@ final class CrawlEngine(
     // cluster just to compute a per-row PSNR
     val okImages = ok.filter($"f_image_id".isNotNull)
       .select($"f_image_id".as("image_id"), $"url".as("src_url"), $"depth")
-    val outRows = resolvedImages
+    val matchedImages = resolvedImages
       .join(broadcast(okImages), Seq("image_id"), "inner")
       .select($"image_id", $"w", $"h", $"fmt", $"caption",
         $"phash", $"src_url", $"depth", lit(cycle).as("cycle"),
         psnrUdf($"image_id", $"bytes").as("psnr"),
         ($"caption" === refCaptionUdf($"image_id")).as("caption_ok"))
+    // dangling references (page names an image_id absent from the images
+    // table) surface as failed-validation rows — psnr 0, caption_ok false —
+    // instead of silently vanishing from the output; the id-only semi join
+    // is a pruned scan (no pixel bytes read)
+    val presentImages = resolvedImages.select($"image_id")
+      .join(broadcast(okImages.select($"image_id")), Seq("image_id"), "left_semi")
+    val danglingImages = okImages
+      .join(broadcast(presentImages), Seq("image_id"), "left_anti")
+      .select($"image_id", lit(null).cast("int").as("w"),
+        lit(null).cast("int").as("h"), lit(null).cast("string").as("fmt"),
+        lit(null).cast("string").as("caption"), lit(null).cast("long").as("phash"),
+        $"src_url", $"depth", lit(cycle).as("cycle"),
+        lit(0.0).as("psnr"), lit(false).as("caption_ok"))
+    val outRows = matchedImages.unionByName(danglingImages)
 
     // ---- 8. ENQUEUE (O5): explode → canonical → dedup → anti-join -------
     val rawLinks = ok.select(explode($"links").as("url"),
@@ -313,31 +404,6 @@ final class CrawlEngine(
     // min(depth) then BFS order (SURVEY §3.5)
     val batchLinks = rawLinks.groupBy($"url")
       .agg(min($"depth").as("depth"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    if (config.useBloom && (seenBloom.isEmpty || seenCountEstimate > bloomItems / 2)) {
-      bloomItems = math.max(math.max(seenCountEstimate * 4, bloomItems * 2), 1L << 20)
-      seenBloom = Some(phaseTimed("bloom-build")(
-        frontier.stat.bloomFilter("url", bloomItems, 0.01)))
-    }
-    val preFiltered =
-      if (config.useBloom && seenCountEstimate > 0) {
-        val bloom = seenBloom.get
-        val mightContain = bloomContainsUdf(bloom)
-        // bloom=no ⇒ definitely unseen (skip the exact join); bloom=maybe ⇒
-        // confirm with exact left_anti
-        val definitelyNew = batchLinks.filter(!mightContain($"url"))
-        val maybeSeen = batchLinks.filter(mightContain($"url"))
-          .join(frontier.select("url"), Seq("url"), "left_anti")
-        definitelyNew.unionByName(maybeSeen)
-      } else batchLinks.join(frontier.select("url"), Seq("url"), "left_anti")
-    val newRows = preFiltered
-      .withColumn("host", hostOfUdf($"url"))
-      .withColumn("bucket", hostBucket($"host", config.numBuckets))
-      .withColumn("prio", lit(cycle))
-      .withColumn("status", lit(Status.New))
-      .withColumn("started", lit(-1L))
-      .withColumn("retries", lit(0))
-      .withColumn("reason", lit(null).cast("string"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- materialize the heavy shared chain in ONE linear job -----------
@@ -348,6 +414,44 @@ final class CrawlEngine(
     // compute the same uncached ancestors concurrently (cache misses on
     // both sides) and the parse/fetch work runs 2-3x.
     val linksCount = phaseTimed("links")(batchLinks.count())
+
+    ensureBloom(frontier)
+    var maybeCache: Option[DataFrame] = None
+    val preFiltered =
+      if (config.useBloom && seenCountEstimate > 0) {
+        val mightContain = bloomContainsUdf(mainBloom.get, recentBloom.get)
+        // bloom=no ⇒ definitely unseen (skip the exact join); bloom=maybe ⇒
+        // confirm with exact left_anti against the seen ledger
+        val definitelyNew = batchLinks.filter(!mightContain($"url"))
+        val maybe = batchLinks.filter(mightContain($"url"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        maybeCache = Some(maybe)
+        // partition pruning on the seen side: a url's frontier row can only
+        // live in bucket(host(url)), so the exact confirm join reads ONLY
+        // the candidate urls' bucket directories of the frontier snapshot —
+        // O(candidate buckets) IO per cycle, not O(frontier)
+        val candBuckets = maybe
+          .select(hostBucket(hostOfUdf($"url"), config.numBuckets).as("b"))
+          .distinct().as[Int].collect().toSet
+        val seenSide =
+          if (candBuckets.isEmpty) frontier.select("url").where(lit(false))
+          else if (candBuckets.size * 2 <= config.numBuckets)
+            snap.readTableBuckets(prev, "frontier", candBuckets)
+              .map(_.select("url"))
+              .getOrElse(frontier.select("url").where(lit(false)))
+          else frontier.select("url") // most buckets touched: cached full scan wins
+        val confirmed = maybe.join(seenSide, Seq("url"), "left_anti")
+        definitelyNew.unionByName(confirmed)
+      } else batchLinks.join(frontier.select("url"), Seq("url"), "left_anti")
+    val newRows = preFiltered
+      .withColumn("host", hostOfUdf($"url"))
+      .withColumn("bucket", hostBucket($"host", config.numBuckets))
+      .withColumn("prio", lit(cycle))
+      .withColumn("status", lit(Status.New))
+      .withColumn("started", lit(-1L))
+      .withColumn("retries", lit(0))
+      .withColumn("reason", lit(null).cast("string"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- per-bucket lineage / metrics in ONE action ---------------------
     // The reference's counters (Master.scala:46-47) are driver-side ints;
@@ -368,6 +472,7 @@ final class CrawlEngine(
         sum(when($"outcome" === "ERROR", 1L).otherwise(0L)).as("v3"),
         sum(when($"outcome" === "RETRY", 1L).otherwise(0L)).as("v4")))
       .unionByName(tagged("new", newRows.groupBy($"bucket").agg(count(lit(1)).as("v1"))))
+      .unionByName(tagged("dangling", danglingImages.agg(count(lit(1)).as("v1"))))
       .unionByName(tagged("robdef", robotsUnknown.agg(count(lit(1)).as("v1"))))
       .unionByName(tagged("robnew", robotsNew.agg(count(lit(1)).as("v1"))))
       .unionByName(tagged("drainable", drainable.agg(count(lit(1)).as("v1"))))
@@ -388,11 +493,18 @@ final class CrawlEngine(
 
     val touched = (outStats.map(_.getInt(1)) ++ newStats.map(_.getInt(1))).toSet
 
-    // incremental URL-seen Bloom maintenance: fold this cycle's enqueued
-    // URLs in with an identically-sized sketch (O(enqueued), not O(frontier))
-    if (config.useBloom && enqueuedCount > 0) phaseTimed("bloom-merge")(seenBloom.foreach {
-      _.mergeInPlace(newRows.stat.bloomFilter("url", bloomItems, 0.01))
-    })
+    // URL-seen maintenance: fold this cycle's enqueued urls into RECENT.
+    // The merge sketch is sized to the recent window (recentItems), never to
+    // the full frontier — per-cycle cost is O(enqueued) puts plus a
+    // recent-sized allocation; the multi-GB main sketch is untouched until
+    // its amortized doubling rebuild.
+    if (config.useBloom && enqueuedCount > 0 && recentMaster.nonEmpty)
+      phaseTimed("bloom-merge") {
+        recentMaster.get.mergeInPlace(
+          newRows.stat.bloomFilter("url", recentItems, 0.01))
+        recentCount += enqueuedCount
+        rebroadcastRecent()
+      }
 
     // ---- 9. COMMIT: frontier COW restricted to touched buckets ----------
     // The status-update join runs over ONLY the buckets drained or enqueued
@@ -441,10 +553,11 @@ final class CrawlEngine(
         "enqueued" -> enqueuedCount.toDouble,
         "deduped" -> dedupCount.toDouble,
         "robots_fetched" -> robotsFetched.toDouble,
-        "deferred_robots" -> deferredRobots.toDouble)))
+        "deferred_robots" -> deferredRobots.toDouble,
+        "dangling_images" -> one("dangling").toDouble)))
 
-    Seq(frontier, polite, robotsUnknown, claimed, responded, ok, outcomes,
-      newRows, robotsNew, batchLinks).foreach(_.unpersist())
+    (Seq(frontier, polite, robotsUnknown, claimed, responded, ok, outcomes,
+      newRows, robotsNew, batchLinks) ++ maybeCache).foreach(_.unpersist())
     // O9 from this cycle's stats: work remains iff something was enqueued,
     // deferred (robots/politeness) or re-enqueued for retry — saves the
     // final empty confirmation cycle (and its full plan/codegen cost)

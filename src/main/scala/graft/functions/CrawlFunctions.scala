@@ -60,8 +60,16 @@ object CrawlFunctions {
   val refCaptionUdf = udf((imageId: String) =>
     if (imageId == null) null else ImageCodec.caption(imageId))
 
-  def bloomContainsUdf(bloom: BloomFilter): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((s: String) => s != null && bloom.mightContainString(s))
+  /** URL-seen membership over the engine's two-level Bloom (main = full
+    * frontier at last rebuild; recent = everything enqueued since). Both
+    * sketches ship via `SparkContext.broadcast` — once per executor, never
+    * per task closure — so at 10^10-URL scale the multi-GB main sketch is
+    * sent to each executor exactly once per rebuild. */
+  def bloomContainsUdf(
+      main: org.apache.spark.broadcast.Broadcast[BloomFilter],
+      recent: org.apache.spark.broadcast.Broadcast[BloomFilter]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => s != null &&
+      (main.value.mightContainString(s) || recent.value.mightContainString(s)))
 
   /** salted host bucket — pmod(xxhash64(host), n); built-in, codegen'd. */
   def hostBucket(host: Column, n: Int): Column =

@@ -64,6 +64,19 @@ final class SnapTable(spark: SparkSession, root: String) {
       spark.read.parquet(buckets.values.toSeq.sorted: _*)
     }
 
+  /**
+   * Read ONLY the given buckets of a bucketed table — partition pruning at
+   * the manifest level: the reader never lists, opens, or even sees the
+   * untouched buckets' files. This is what makes the engine's exact
+   * dedup-confirm join O(candidate buckets), not O(frontier), per cycle.
+   * Returns None when no requested bucket holds data.
+   */
+  def readTableBuckets(snap: Snapshot, table: String, buckets: Set[Int]): Option[DataFrame] =
+    snap.tables.get(table)
+      .map(_.filter { case (b, _) => buckets.contains(b) })
+      .filter(_.nonEmpty)
+      .map(bs => spark.read.parquet(bs.values.toSeq.sorted: _*))
+
   /** Read an append-only table (all appended dirs across snapshots). */
   def readAppended(snap: Snapshot, table: String): Option[DataFrame] =
     snap.appended.get(table).filter(_.nonEmpty)
@@ -137,13 +150,27 @@ final class SnapTable(spark: SparkSession, root: String) {
         () => { appended += name -> (appended.getOrElse(name, Nil) :+ dir) })
     }
 
-    (fullJobs ++ cowJobs ++ appendJobs).foreach { case (job, apply) =>
-      Await.result(job, Duration.Inf); apply()
+    try (fullJobs ++ cowJobs ++ appendJobs).foreach { case (job, apply) =>
+      // bounded wait: a hung write must fail the commit, not block forever
+      Await.result(job, Duration(2, "hours")); apply()
+    } catch { case e: Throwable =>
+      // a failed commit must not leak orphan v$version data dirs — nothing
+      // references them (the manifest is written last), so delete before
+      // rethrowing: half-written cycles stay invisible AND reclaimable
+      (fullTables.keys ++ cowTables.keys ++ appends.keys).foreach { name =>
+        deleteRec(new java.io.File(s"$root/data/$name/v$version"))
+      }
+      throw e
     }
 
     val snap = Snapshot(version, cycle, tables, appended, metrics)
     writeManifest(snap)
     snap
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
   }
 
   private def jstr(s: String): String = "\"" + s.flatMap {

@@ -30,7 +30,11 @@ object CrawlStream {
     val checkpoint = Files.createTempDirectory("graft-stream-ckpt").toString
     val ticks = spark.readStream.format("rate")
       .option("rowsPerSecond", 1).load()
-    ticks.writeStream
+    // stop ONLY this crawl's query at Finished — the SparkSession may host
+    // other streaming queries (another concurrent crawl, metrics feeds);
+    // killing spark.streams.active wholesale would take them down too
+    val self = new java.util.concurrent.atomic.AtomicReference[StreamingQuery]()
+    val query = ticks.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(tick)
       .foreachBatch { (_: DataFrame, _: Long) =>
@@ -39,10 +43,16 @@ object CrawlStream {
         if (progressed == 0 || pending == 0) {
           // Finished: stop from a separate thread (stop() inside
           // foreachBatch would deadlock the micro-batch thread)
-          new Thread(() => spark.streams.active.foreach(_.stop())).start()
+          new Thread(() => {
+            var q = self.get()
+            while (q == null) { Thread.sleep(10); q = self.get() }
+            q.stop()
+          }).start()
         }
       }
       .start()
+    self.set(query)
+    query
   }
 
   /** Run a full crawl via the streaming surface: seed, stream micro-cycles
