@@ -8,8 +8,8 @@ import org.apache.spark.storage.StorageLevel
 import org.apache.spark.util.sketch.BloomFilter
 import graft.model._
 import graft.functions.CrawlFunctions._
-import graft.plans.SnapTable
-import graft.operators.Politeness
+import graft.plans.{SnapTable, Snapshot, SnapshotStore}
+import graft.operators.{Politeness, Stages}
 
 /**
  * The crawl micro-cycle engine (SURVEY §3.4): the reference's continuous
@@ -35,11 +35,15 @@ final class CrawlEngine(
     val config: CrawlConfig,
     pages: DataFrame,
     images: DataFrame,
-    workDir: String) {
+    workDir: String,
+    store: SnapshotStore = null) {
 
   import spark.implicits._
 
-  val snap = new SnapTable(spark, s"$workDir/state")
+  /** Durable-table layer: the bundled manifest store by default; inject an
+    * Iceberg-backed [[SnapshotStore]] here to run on a real catalog. */
+  val snap: SnapshotStore =
+    Option(store).getOrElse(new SnapTable(spark, s"$workDir/state"))
   private val corpusPath = s"$workDir/corpus_resolved"
   private val imagesPath = s"$workDir/images_resolved"
   private var seenCountEstimate: Long = 0L
@@ -135,15 +139,18 @@ final class CrawlEngine(
   def resolvedCorpus: DataFrame = spark.read.parquet(corpusPath)
   def resolvedImages: DataFrame = spark.read.parquet(imagesPath)
 
-  /** Seed injection (S1): depth-0 New rows, deduped (Master.scala:104-113). */
-  def init(seeds: Seq[String]): Unit = initSeeds(seeds.toDF("raw"))
+  /** Seed injection (S1): depth-0 New rows, deduped (Master.scala:104-113).
+    * `headers` (Request headers, Protocol.scala:33) ride the frontier rows;
+    * null selects `config.defaultHeaders`. */
+  def init(seeds: Seq[String], headers: Map[String, String] = null): Unit =
+    initSeeds(seeds.toDF("raw"), headers)
 
   /**
    * Distributed seed injection: `seedsRaw` is any DataFrame with a `raw`
    * URL column. Seeds never pass through the driver — a 10^10-URL seed
    * list stays a distributed scan end to end.
    */
-  def initSeeds(seedsRaw: DataFrame): Unit = {
+  def initSeeds(seedsRaw: DataFrame, headers: Map[String, String] = null): Unit = {
     require(snap.latestVersion.isEmpty,
       s"$workDir already holds crawl state (snapshot v${snap.latestVersion.get}); " +
         "use resume() or point at a fresh workdir")
@@ -158,6 +165,8 @@ final class CrawlEngine(
       .withColumn("started", lit(-1L))
       .withColumn("retries", lit(0))
       .withColumn("reason", lit(null).cast("string"))
+      .withColumn("headers",
+        typedlit(Option(headers).getOrElse(config.defaultHeaders)))
       .withColumn("bucket", hostBucket($"host", config.numBuckets))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val perBucket = rows.groupBy($"bucket").agg(count(lit(1))).collect()
@@ -177,7 +186,7 @@ final class CrawlEngine(
    * Master.scala:104-113) and commits unseen URLs as depth-0 New rows.
    * Returns the number of rows actually enqueued.
    */
-  def addSeeds(seeds: Seq[String]): Long = {
+  def addSeeds(seeds: Seq[String], headers: Map[String, String] = null): Long = {
     val prev = snap.latest.getOrElse(sys.error("engine not initialized"))
     val frontier = loadFrontier(prev)
     val rows = seeds.toDF("raw")
@@ -191,6 +200,8 @@ final class CrawlEngine(
       .withColumn("started", lit(-1L))
       .withColumn("retries", lit(0))
       .withColumn("reason", lit(null).cast("string"))
+      .withColumn("headers",
+        typedlit(Option(headers).getOrElse(config.defaultHeaders)))
       .withColumn("bucket", hostBucket($"host", config.numBuckets))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val touched = rows.select("bucket").distinct().as[Int].collect().toSet
@@ -219,11 +230,11 @@ final class CrawlEngine(
     added
   }
 
-  def loadFrontier(s: snap.Snapshot): DataFrame =
+  def loadFrontier(s: Snapshot): DataFrame =
     snap.readTable(s, "frontier").get
       .withColumn("bucket", hostBucket($"host", config.numBuckets))
 
-  def loadRobots(s: snap.Snapshot): DataFrame = snap.readTable(s, "robots").get
+  def loadRobots(s: Snapshot): DataFrame = snap.readTable(s, "robots").get
 
   /** O9 — completion: no New and no stale-InProgress rows remain. */
   def remaining(frontier: DataFrame, cycle: Long): Long =
@@ -247,7 +258,7 @@ final class CrawlEngine(
     }
   }
 
-  def runCycle(cycle: Long): (snap.Snapshot, Long, Long) = {
+  def runCycle(cycle: Long): (Snapshot, Long, Long) = {
     val prev = snap.latest.getOrElse(sys.error("engine not initialized"))
     val frontier = loadFrontier(prev).persist(StorageLevel.MEMORY_AND_DISK)
     val robots = loadRobots(prev)
@@ -288,22 +299,25 @@ final class CrawlEngine(
       robotsAllowedUdf($"rules", lit(config.userAgent), $"url"))
 
     // hosts lacking robots: synthesize ONE robots fetch per authority this
-    // cycle (RobotsFilter.scala:63-68); their page rows stay New (deferral ≙
-    // the reference's `waiting` queue, at most one extra cycle of latency)
+    // cycle, carrying THE SAME HEADERS as the (deterministically first)
+    // page request that triggered it — reference RobotsFilter.scala:63-68,
+    // asserted by RobotsFilterTest.scala:38-60. Their page rows stay New
+    // (deferral ≙ the reference's `waiting` queue, ≤1 extra cycle latency).
     val robotsFetch = robotsUnknown.groupBy($"host")
-      .agg(min($"url").as("any_url"))
+      .agg(min($"url").as("any_url"),
+        min_by($"headers", $"url").as("req_headers"))
       .select($"host", concat(split($"any_url", "/")(0), lit("//"), $"host",
-        lit("/robots.txt")).as("src_url"))
+        lit("/robots.txt")).as("src_url"), $"req_headers")
     val robotsResp = robotsFetch.join(resolvedCorpus, Seq("src_url"), "left")
       .select($"host",
         when($"f_status" === 200 && $"f_err".isNull,
           robotsParseUdf($"f_body")).otherwise(lit(null)).as("parsed"),
-        $"f_status", $"f_err")
+        $"f_status", $"f_err", $"req_headers")
     // 200+parse-ok ⇒ rules; 200+parse-fail / non-200 / missing / error ⇒ all
     // allowed (RobotsFilter.scala:74-81, 99-103, 110-119)
     val robotsNew = robotsResp.select($"host",
       ($"parsed".isNull).as("all_allowed"),
-      $"parsed".as("rules"), lit(cycle).as("fetched_cycle"))
+      $"parsed".as("rules"), lit(cycle).as("fetched_cycle"), $"req_headers")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val robotsOut = robots.unionByName(robotsNew)
 
@@ -316,7 +330,7 @@ final class CrawlEngine(
     // url-only pass. Batch size is bounded by hostBudget/globalBatchCap, so
     // the broadcast stays executor-memory-sized at any frontier scale.
     val claimed = allowed.select($"url", $"host", $"bucket", $"depth",
-      $"prio", $"retries").persist(StorageLevel.MEMORY_AND_DISK)
+      $"prio", $"retries", $"headers").persist(StorageLevel.MEMORY_AND_DISK)
     val corpus = resolvedCorpus.withColumnRenamed("src_url", "url")
     val hits = corpus.join(broadcast(claimed), Seq("url"), "inner")
     // urls claimed but absent from the corpus => connection error; the semi
@@ -332,32 +346,38 @@ final class CrawlEngine(
       .withColumn("f_err", lit(null).cast("string"))
     val fetched = hits.unionByName(misses)
 
-    // ---- 5. RESPOND: retry(404) → filter(403,500) → ajax rewrite --------
-    // response leg order per reference.conf:66-71 traversed right-to-left:
-    // RetryHttpError → FilterHttpError → AjaxLinksTransform → RobotsFilter
-    val retriesLit = config.retryCodes.toSeq
-    val filtersLit = config.filterCodes.toSeq
-    val responded = fetched.withColumn("outcome",
-      when($"f_err".isNotNull || $"f_status".isNull || $"f_status" === -1, lit("ERROR"))
-        .when($"f_status".isin(retriesLit: _*) && $"retries" < config.maxRetries, lit("RETRY"))
-        .when($"f_status".isin(retriesLit: _*), lit("ERROR"))
-        .when($"f_status".isin(filtersLit: _*), lit("ERROR"))
-        .otherwise(lit("OK")))
+    // ---- 5. RESPOND: the pluggable response-leg stage chain -------------
+    // reference.conf:66-71 traversed right-to-left: RetryHttpError →
+    // FilterHttpError → AjaxLinksTransform (RobotsFilter's response leg is
+    // the robots-cache step above). The chain is config-driven
+    // (CrawlConfig.responseStages ≙ the reference's reflective stage list,
+    // Pipeline.scala:39-46); the Downloader's own error channel (connection
+    // failures, Downloader.scala:44-48) is tagged before any stage runs.
+    val preTagged = fetched
+      .withColumn("outcome",
+        when($"f_err".isNotNull || $"f_status".isNull || $"f_status" === -1,
+          lit("ERROR")).otherwise(lit(null).cast("string")))
       .withColumn("reason",
         when($"f_err".isNotNull, $"f_err")
-          .when($"f_status".isNull, lit(Reasons.connectionError))
-          .when($"f_status".isin(retriesLit: _*) && $"retries" >= config.maxRetries,
-            lit(Reasons.maxRetriesReached))
-          .when($"f_status".isin(filtersLit: _*),
-            concat(lit("FilteredHttpCode("), $"f_status", lit(")"))))
+          .when($"f_status".isNull, lit(Reasons.connectionError)))
+    val responseChain = config.responseStages.getOrElse(Seq(
+      Stages.retryHttpError(config.retryCodes, config.maxRetries),
+      Stages.filterHttpError(config.filterCodes),
+      Stages.ajaxRewrite))
+    val responded = responseChain.foldLeft(preTagged)((df, s) => s(df))
+      .withColumn("outcome", coalesce($"outcome", lit("OK")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ---- 6. PARSE (X1-X3) + 7. DEPTH (P8) on OK responses ---------------
-    val ok = responded.filter($"outcome" === "OK")
-      .withColumn("body2", ajaxRewriteUdf($"f_body", $"url", $"f_ct"))
-      .withColumn("links",
-        when($"depth" >= config.maxDepth, array()) // MaxDepthFilter.scala:17-22 (≥ inclusive)
-          .otherwise(extractLinksUdf($"body2", $"url", $"f_ct")))
+    // ---- 6. PARSE (X1/X2) + 7. result-leg stage chain (P8 by default) ---
+    // ajax rewrite already mutated f_body in the response chain; the
+    // Crawler extracts links for every OK page and the RESULT stages
+    // (default: MaxDepthFilter) then prune them — exactly the reference's
+    // Crawler → result-pipeline traversal (Manager.scala:137-147)
+    val parsed = responded.filter($"outcome" === "OK")
+      .withColumn("links", extractLinksUdf($"f_body", $"url", $"f_ct"))
+    val resultChain = config.resultStages
+      .getOrElse(Seq(Stages.maxDepth(config.maxDepth)))
+    val ok = resultChain.foldLeft(parsed)((df, s) => s(df))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // outcomes ledger for the claimed batch (O6/O7) + robots denials
@@ -395,7 +415,13 @@ final class CrawlEngine(
         lit(null).cast("string").as("caption"), lit(null).cast("long").as("phash"),
         $"src_url", $"depth", lit(cycle).as("cycle"),
         lit(0.0).as("psnr"), lit(false).as("caption_ok"))
-    val outRows = matchedImages.unionByName(danglingImages)
+    // extractInformation hook (X3 — reference crawler/Crawler.scala:18):
+    // a custom extractor maps the parsed OK batch to output rows; default
+    // is the built-in image+caption extraction with PSNR validation
+    val (outRows, danglingDf) = config.extractInfo match {
+      case Some(hook) => (hook(ok).withColumn("cycle", lit(cycle)), None)
+      case None => (matchedImages.unionByName(danglingImages), Some(danglingImages))
+    }
 
     // ---- 8. ENQUEUE (O5): explode → canonical → dedup → anti-join -------
     val rawLinks = ok.select(explode($"links").as("url"),
@@ -451,6 +477,10 @@ final class CrawlEngine(
       .withColumn("started", lit(-1L))
       .withColumn("retries", lit(0))
       .withColumn("reason", lit(null).cast("string"))
+      // child requests get fresh default headers, exactly as the reference
+      // Manager issues Request(task, Map()) for every pulled task
+      // (Manager.scala:100-110) — headers are per-request, not inherited
+      .withColumn("headers", typedlit(config.defaultHeaders))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- per-bucket lineage / metrics in ONE action ---------------------
@@ -472,7 +502,10 @@ final class CrawlEngine(
         sum(when($"outcome" === "ERROR", 1L).otherwise(0L)).as("v3"),
         sum(when($"outcome" === "RETRY", 1L).otherwise(0L)).as("v4")))
       .unionByName(tagged("new", newRows.groupBy($"bucket").agg(count(lit(1)).as("v1"))))
-      .unionByName(tagged("dangling", danglingImages.agg(count(lit(1)).as("v1"))))
+      .unionByName(danglingDf.map(d => tagged("dangling", d.agg(count(lit(1)).as("v1"))))
+        .getOrElse(spark.emptyDataFrame.select(lit("dangling").as("tag"),
+          lit(-1).as("bucket"), lit(0L).as("v1"), lit(0L).as("v2"),
+          lit(0L).as("v3"), lit(0L).as("v4")).limit(0)))
       .unionByName(tagged("robdef", robotsUnknown.agg(count(lit(1)).as("v1"))))
       .unionByName(tagged("robnew", robotsNew.agg(count(lit(1)).as("v1"))))
       .unionByName(tagged("drainable", drainable.agg(count(lit(1)).as("v1"))))
@@ -526,9 +559,10 @@ final class CrawlEngine(
         coalesce($"u_status", $"status").as("status"),
         coalesce($"u_started", $"started").as("started"),
         coalesce($"u_retries", $"retries").as("retries"),
-        coalesce($"u_reason", $"reason").as("reason"))
+        coalesce($"u_reason", $"reason").as("reason"),
+        $"headers")
       .unionByName(newRows.select($"url", $"host", $"bucket", $"depth",
-        $"prio", $"status", $"started", $"retries", $"reason"))
+        $"prio", $"status", $"started", $"retries", $"reason", $"headers"))
     val enqByBucket = newStats.map(r => r.getInt(1) -> r.getLong(2)).toMap
     val lineageRows: Seq[LineageRow] = {
       val outBuckets = outStats.map { r =>
@@ -567,13 +601,13 @@ final class CrawlEngine(
   }
 
   /** Drive cycles until Finished (O9/O10); returns final snapshot. */
-  def run(seeds: Seq[String], maxCycles: Int = 1000): snap.Snapshot = {
+  def run(seeds: Seq[String], maxCycles: Int = 1000): Snapshot = {
     init(seeds)
     drive(maxCycles)
   }
 
   /** Drive micro-cycles over an already-seeded frontier until Finished. */
-  def drive(maxCycles: Int = 1000): snap.Snapshot = {
+  def drive(maxCycles: Int = 1000): Snapshot = {
     var cycle = 1L
     var done = false
     var last = snap.latest.get
@@ -598,7 +632,7 @@ final class CrawlEngine(
   }
 
   /** Resume from the latest committed snapshot (exactness: SURVEY §7.2). */
-  def resume(maxCycles: Int = 1000): snap.Snapshot = {
+  def resume(maxCycles: Int = 1000): Snapshot = {
     prepareResume()
     val start = snap.latest.getOrElse(sys.error("nothing to resume")).cycle + 1
     var cycle = start

@@ -11,7 +11,13 @@ import graft.corpus.Corpus
  * cycles to completion, prints per-cycle metrics and a final summary line.
  *
  *   sbt "runMain graft.driver.CrawlMain --hosts 20 --pages 2000 --seeds 3 \
- *        --budget 10 --max-depth 4 --workdir /tmp/crawl1 [--resume] [--cores 8]"
+ *        --budget 10 --max-depth 4 --workdir /tmp/crawl1 [--resume] [--cores 8] \
+ *        [--add-urls http://h0.test/extra,http://h1.test/]"
+ *
+ * `--add-urls` is the reference's remote AddTasks entry point
+ * (AddTasks.scala:11-50: a CLI that injects NewTasks into a RUNNING crawl's
+ * master): it injects the urls into an existing workdir's frontier (O5
+ * dedup applies) and resumes the crawl to completion.
  */
 object CrawlMain {
   def main(args: Array[String]): Unit = {
@@ -41,9 +47,17 @@ object CrawlMain {
     val engine = new CrawlEngine(spark, cfg,
       Corpus.pages(spark, spec).toDF(), Corpus.images(spark, spec).toDF(), workdir)
 
+    val addUrls = a.get("--add-urls")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+
     val t0 = System.nanoTime()
     val snap =
-      if (resume) engine.resume()
+      if (addUrls.nonEmpty) { // AddTasks parity: inject mid-crawl, then drive
+        engine.prepareResume()
+        val added = engine.addSeeds(addUrls)
+        println(s"""{"seeds_added":$added}""")
+        engine.resume()
+      } else if (resume) engine.resume()
       else engine.run(Corpus.seeds(spec, seeds))
     val secs = (System.nanoTime() - t0) / 1e9
 

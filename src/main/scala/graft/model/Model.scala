@@ -38,7 +38,8 @@ final case class TaskRow(
     status: String,
     started: Long, // logical-clock cycle when claimed InProgress
     retries: Int, // RetryHttpError count (RetryHttpError.scala:13)
-    reason: String) // null unless WithError
+    reason: String, // null unless WithError
+    headers: Map[String, String]) // request headers (Protocol.scala:33)
 
 /** Synthetic-web page (FIXTURES.md §1.2): what "HTTP fetch" joins against. */
 final case class PageRow(
@@ -60,12 +61,17 @@ final case class ImageRow(
     caption: String,
     phash: Long)
 
-/** robots state row ≙ RobotsFilter caches (RobotsFilter.scala:22-24). */
+/** robots state row ≙ RobotsFilter caches (RobotsFilter.scala:22-24).
+  * `req_headers` records the headers the synthesized robots fetch was
+  * issued with — the reference synthesizes the robots request WITH THE SAME
+  * HEADERS as the page request that triggered it (RobotsFilter.scala:63-68,
+  * asserted by RobotsFilterTest.scala:38-60). */
 final case class RobotsRow(
     host: String,
     all_allowed: Boolean,
     rules: String, // RobotRules.encode wire form; null when all_allowed
-    fetched_cycle: Long)
+    fetched_cycle: Long,
+    req_headers: Map[String, String])
 
 /** Validated output row (S7): image+caption pair extracted per page.
   * Carries the payload REFERENCE (image_id) + validation evidence
@@ -100,7 +106,19 @@ final case class LineageRow(
     deferred_polite: Long,
     output_rows: Long)
 
-/** Engine configuration ≙ reference.conf knobs (BASELINE.md §A). */
+/** Engine configuration ≙ reference.conf knobs (BASELINE.md §A).
+  *
+  * The stage lists mirror the reference's config-driven pluggable pipeline
+  * (reference.conf:66-75 instantiates stage classes reflectively via
+  * Pipeline.scala:39-46; doc/Requisitos.md:15-23 names pluggable stages as a
+  * requirement). A stage is a pure `DataFrame => DataFrame` over the wide
+  * fetch-row schema; `None` selects the reference-default chain
+  * (RetryHttpError → FilterHttpError → AjaxLinksTransform on the response
+  * leg, MaxDepthFilter on the result leg — see graft.operators.Stages).
+  * `extractInfo` is the extractInformation subclass hook
+  * (reference crawler/Crawler.scala:18): it maps the parsed OK batch to the
+  * rows appended to the output table; `None` = built-in image+caption
+  * extraction and PSNR validation. */
 final case class CrawlConfig(
     maxDepth: Int = 2, // scrawl.max-depth-filter.max-depth
     filterCodes: Set[Int] = Set(403, 500), // scrawl.filter-http-error.errors
@@ -113,4 +131,8 @@ final case class CrawlConfig(
     numBuckets: Int = 32,
     useBloom: Boolean = true,
     globalBatchCap: Int = Int.MaxValue, // per-cycle drain cap (reference pulls 25/manager, unbounded pulls/cycle)
-    usePolitenessMapGroups: Boolean = false) // window top-k (default) vs typed flatMapGroups token bucket
+    usePolitenessMapGroups: Boolean = false, // window top-k (default) vs typed flatMapGroups token bucket
+    defaultHeaders: Map[String, String] = Map.empty, // Request headers (Protocol.scala:33); per-seed overrides via initSeeds/addSeeds
+    responseStages: Option[Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame]] = None,
+    resultStages: Option[Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame]] = None,
+    extractInfo: Option[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = None)

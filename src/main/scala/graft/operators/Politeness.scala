@@ -24,7 +24,8 @@ import graft.model.Status
  */
 /** Encoder row for the typed politeness surface (must be public for codegen). */
 final case class DrainRow(url: String, host: String, bucket: Int, depth: Int,
-    prio: Long, status: String, started: Long, retries: Int, reason: String)
+    prio: Long, status: String, started: Long, retries: Int, reason: String,
+    headers: Map[String, String])
 
 object Politeness {
 
@@ -35,7 +36,7 @@ object Politeness {
     val capped = drainable
       .withColumn("rn", row_number().over(w)).filter($"rn" <= budget).drop("rn")
       .select($"url", $"host", $"bucket", $"depth", $"prio", $"status",
-        $"started", $"retries", $"reason").as[DrainRow]
+        $"started", $"retries", $"reason", $"headers").as[DrainRow]
     capped.groupByKey(_.host)
       .flatMapGroups { (_, it) =>
         // token bucket: spend one token per row in deterministic order

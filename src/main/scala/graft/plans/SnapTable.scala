@@ -5,6 +5,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
+/** One committed snapshot: `tables` maps table -> (bucket -> data dir) for
+  * bucketed state tables (-1 = unbucketed blob); `appended` lists every data
+  * dir of the append-only tables across snapshots. */
+final case class Snapshot(
+    version: Long,
+    cycle: Long,
+    tables: Map[String, Map[Int, String]],
+    appended: Map[String, List[String]],
+    metrics: Map[String, Double])
+
+/**
+ * The engine's durable-table contract — the seam for swapping the bundled
+ * [[SnapTable]] manifest layer for a real catalog. An Iceberg-backed
+ * implementation maps `readTable` to `spark.read.format("iceberg")`,
+ * `commit` to a MERGE INTO + snapshot commit, `readTableBuckets` to a
+ * bucket-transform partition predicate, and `readSnapshot` to time travel
+ * (`VERSION AS OF`); [[graft.driver.CrawlEngine]] only ever sees DataFrames
+ * and [[Snapshot]] descriptors, so the swap is constructor injection.
+ */
+trait SnapshotStore {
+  def latestVersion: Option[Long]
+  def readSnapshot(version: Long): Snapshot
+  def latest: Option[Snapshot] = latestVersion.map(readSnapshot)
+  def readTable(snap: Snapshot, table: String): Option[DataFrame]
+  def readTableBuckets(snap: Snapshot, table: String, buckets: Set[Int]): Option[DataFrame]
+  def readAppended(snap: Snapshot, table: String): Option[DataFrame]
+  def commit(
+      cycle: Long,
+      fullTables: Map[String, DataFrame] = Map.empty,
+      cowTables: Map[String, (DataFrame, String, Set[Int])] = Map.empty,
+      appends: Map[String, DataFrame] = Map.empty,
+      metrics: Map[String, Double] = Map.empty): Snapshot
+}
+
 /**
  * Minimal Iceberg-style snapshot-table layer (SURVEY §7.2).
  *
@@ -28,15 +62,12 @@ import org.json4s.jackson.JsonMethods
  * `spark.read.format("iceberg")` / MERGE INTO — the engine only sees
  * DataFrames.
  */
-final class SnapTable(spark: SparkSession, root: String) {
+final class SnapTable(spark: SparkSession, root: String) extends SnapshotStore {
   private val rootPath: Path = Paths.get(root)
   Files.createDirectories(rootPath.resolve("snapshots"))
 
   /** table -> (bucket -> data dir) for bucketed tables; -1 = unbucketed blob */
   type TableState = Map[String, Map[Int, String]]
-
-  case class Snapshot(version: Long, cycle: Long, tables: TableState,
-      appended: Map[String, List[String]], metrics: Map[String, Double])
 
   def latestVersion: Option[Long] = {
     val p = rootPath.resolve("LATEST")
@@ -55,8 +86,6 @@ final class SnapTable(spark: SparkSession, root: String) {
       (js \ "appended").extract[Map[String, List[String]]],
       (js \ "metrics").extract[Map[String, Double]])
   }
-
-  def latest: Option[Snapshot] = latestVersion.map(readSnapshot)
 
   /** Read a bucketed state table at a snapshot: union of all bucket dirs. */
   def readTable(snap: Snapshot, table: String): Option[DataFrame] =

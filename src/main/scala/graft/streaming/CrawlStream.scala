@@ -57,7 +57,7 @@ object CrawlStream {
 
   /** Run a full crawl via the streaming surface: seed, stream micro-cycles
     * until Finished, return the final snapshot. */
-  def crawl(engine: CrawlEngine, seeds: Seq[String]): engine.snap.Snapshot = {
+  def crawl(engine: CrawlEngine, seeds: Seq[String]): graft.plans.Snapshot = {
     engine.init(seeds)
     val q = start(engine)
     q.awaitTermination()
@@ -65,7 +65,7 @@ object CrawlStream {
   }
 
   /** Resume a streaming crawl from the latest committed snapshot. */
-  def resume(engine: CrawlEngine): engine.snap.Snapshot = {
+  def resume(engine: CrawlEngine): graft.plans.Snapshot = {
     engine.prepareResume()
     val q = start(engine)
     q.awaitTermination()

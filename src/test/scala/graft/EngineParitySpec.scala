@@ -259,6 +259,77 @@ class EngineParitySpec extends AnyFunSuite {
     assert(dangled === 3.0, s"dangling_images metric: $dangled")
   }
 
+  test("headers ride frontier rows; robots fetch synthesized WITH the request's headers") {
+    import org.apache.spark.sql.functions.col
+    val hdrs = Map("Authorization" -> "Bearer tok-1", "Accept" -> "text/html")
+    val dir = Files.createTempDirectory("graft-headers").toString
+    val engine = new CrawlEngine(spark, CrawlConfig(),
+      spark.createDataset(Fixtures.robotsBasic).toDF(),
+      spark.emptyDataset[ImageRow].toDF(), dir)
+    engine.init(Fixtures.robotsBasicSeeds, hdrs)
+    engine.drive()
+    // seed frontier row carries the MapType headers column (SURVEY §1.4)
+    val seedHdrs = engine.frontierNow.filter(col("url") === "http://rb.test/")
+      .select("headers").as[Map[String, String]].head()
+    assert(seedHdrs === hdrs)
+    // the synthesized robots fetch carried the SAME headers as the page
+    // request that triggered it (reference RobotsFilter.scala:63-68,
+    // RobotsFilterTest.scala:38-60)
+    val robotsHdrs = engine.snap.readTable(engine.snap.latest.get, "robots").get
+      .filter(col("host") === "rb.test")
+      .select("req_headers").as[Map[String, String]].head()
+    assert(robotsHdrs === hdrs)
+    // enqueued children get fresh default headers, like the reference
+    // Manager issuing Request(task, Map()) per pulled task
+    val childHdrs = engine.frontierNow.filter(col("url") === "http://rb.test/test")
+      .select("headers").as[Map[String, String]].head()
+    assert(childHdrs === Map.empty[String, String])
+  }
+
+  test("pluggable response stages: EmptyStage + custom deny stage injected") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import graft.operators.Stages
+    val deny: Stages.Stage = df => df
+      .withColumn("reason", when(col("outcome").isNull &&
+        col("url") === "http://hf.test/fine", lit("CustomStageDenied"))
+        .otherwise(col("reason")))
+      .withColumn("outcome", when(col("outcome").isNull &&
+        col("url") === "http://hf.test/fine", lit("ERROR"))
+        .otherwise(col("outcome")))
+    val cfg = CrawlConfig(responseStages = Some(Seq(
+      Stages.empty,
+      Stages.retryHttpError(Set(404), 1),
+      deny,
+      Stages.filterHttpError(Set(403, 500)),
+      Stages.ajaxRewrite)))
+    val dir = Files.createTempDirectory("graft-stages").toString
+    val engine = new CrawlEngine(spark, cfg,
+      spark.createDataset(Fixtures.httpFilter).toDF(),
+      spark.emptyDataset[ImageRow].toDF(), dir)
+    engine.run(Fixtures.httpFilterSeeds)
+    val got = engine.frontierNow.select("url", "status", "reason")
+      .as[(String, String, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3.getOrElse("")))).toMap
+    assert(got("http://hf.test/fine") === ((Status.WithError, "CustomStageDenied")))
+    assert(got("http://hf.test/forbidden") === ((Status.WithError, "FilteredHttpCode(403)")))
+    assert(got("http://hf.test/") === ((Status.Completed, "")))
+  }
+
+  test("extractInformation hook replaces the built-in output extractor") {
+    import org.apache.spark.sql.functions.{col, length}
+    val hook: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      ok => ok.select(col("url").as("src_url"), length(col("f_body")).as("body_len"))
+    val dir = Files.createTempDirectory("graft-hook").toString
+    val engine = new CrawlEngine(spark, CrawlConfig(extractInfo = Some(hook)),
+      spark.createDataset(Fixtures.site3).toDF(),
+      spark.emptyDataset[ImageRow].toDF(), dir)
+    engine.run(Fixtures.site3Seeds)
+    val out = engine.snap.readAppended(engine.snap.latest.get, "output").get
+    assert(out.columns.toSet === Set("src_url", "body_len", "cycle"))
+    assert(out.count() === 3)
+    assert(out.filter(col("body_len") > 0).count() === 3)
+  }
+
   test("stale-retry — MasterTest.scala:128-138: stuck InProgress re-drained") {
     // inject an InProgress row older than staleCycles directly, then cycle
     val dir = Files.createTempDirectory("graft-stale").toString
