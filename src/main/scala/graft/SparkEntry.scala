@@ -53,6 +53,11 @@ object SparkEntry {
   private lazy val RobotsFixtureEnc: String = RobotRules.parse(RobotsFixture).encode
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ================= flagship end-to-end engine ======================
+    // the driver gate runs the FULL micro-cycle engine (rows-only check:
+    // 3 validated output rows; values pinned by EngineParitySpec)
+    "entry" -> ((s, _) => entry(s)),
+
     // ================= relational core =================================
     "q01_pricing_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -269,10 +274,14 @@ object SparkEntry {
     }),
 
     "q43_ngram_jaccard" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
+      // shingle each doc ONCE in a projection BEFORE the self-join — the
+      // pair-scorer form (ngramJaccard over two text columns) recomputes
+      // every doc's shingle set twice, which dominated the q43 runtime
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.shingleSet(col("text"), 2).as("sh"))
       docs.as("x").join(docs.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
         .select(col("x.doc_id").as("a"),
-          Dedup.ngramJaccard(col("x.text"), col("y.text"), 2).as("jac"))
+          round(Dedup.jaccard(col("x.sh"), col("y.sh")), 4).as("jac"))
     }),
 
     "q44_embed_neardup" -> ((s, dir) => {
@@ -501,6 +510,37 @@ object SparkEntry {
          |  AND least(len(x.s), len(y.s))::DOUBLE / greatest(len(x.s), len(y.s))::DOUBLE >= 0.7
          |WHERE round(len(list_intersect(x.s, y.s))::DOUBLE
          |    / len(list_distinct(list_concat(x.s, y.s)))::DOUBLE, 4) >= 0.7""".stripMargin
+    },
+
+    "q42_dedup_simhash" -> {
+      // bit-exact DuckDB mirror of Dedup.simhash64: per-token 64-bit hash =
+      // (poly(7,131) << 32) | poly(11,137) over UTF-16 units (the q33
+      // fingerprint construction), per-bit majority vote, then hamming over
+      // all pairs. The Spark side's 16-bit-chunk pigeonhole banding is
+      // recall-complete for hamming <= 3, so banded output == all-pairs truth.
+      def poly(seed: Int, mult: Int) =
+        s"""list_reduce(list_concat([$seed::BIGINT],
+           |  list_transform(list_filter(string_split(t, ''), c -> len(c) > 0),
+           |    c -> ascii(c)::BIGINT)), (a, b) -> (a * $mult + b) % 1000000007)""".stripMargin
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text || ' zqx7' FROM documents WHERE doc_id % 3 = 0),
+         |toks AS (SELECT doc_id, unnest($Toks) AS t FROM aug),
+         |th AS (SELECT doc_id,
+         |  ((${poly(7, 131)} << 32) | ${poly(11, 137)}) AS h FROM toks),
+         |bits AS (SELECT doc_id, bit,
+         |    sum(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM th, (SELECT unnest(range(64)) AS bit) bb GROUP BY doc_id, bit),
+         |sig0 AS (SELECT doc_id,
+         |    sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS sim
+         |  FROM bits GROUP BY doc_id),
+         |sig AS (SELECT a.doc_id, coalesce(s.sim, 0) AS sim
+         |  FROM aug a LEFT JOIN sig0 s ON s.doc_id = a.doc_id)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  bit_count(xor(x.sim, y.sim)) AS hamming
+         |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sim, y.sim)) <= 3""".stripMargin
     },
 
     "q43_ngram_jaccard" -> {

@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import scala.util.hashing.MurmurHash3
 
 /**
  * Deduplication operators for a training-data pipeline: exact (hash-groupBy),
@@ -27,14 +26,23 @@ object Dedup {
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
   /**
-   * Exact duplicate groups by normalized text: one row per group with the
-   * smallest id as the keeper. groupBy on the text itself (not a hash) —
-   * Spark's hash aggregate already hashes the key, and keeping the key
-   * avoids collision risk at 10^12-doc scale.
+   * Exact duplicate groups: one row per group with the smallest id as the
+   * keeper. Groups on a 128-bit content hash (two independently-seeded
+   * xxhash64 of the normalized text), NOT on the text itself — at 10^12-doc
+   * scale grouping by raw text would shuffle the entire corpus as the
+   * aggregation key, whereas the hash key shuffles 16 bytes + id per row.
+   * Collision budget: ~10^24 candidate pairs x 2^-128 ≈ 3e-15 expected
+   * collisions corpus-wide; callers needing certainty re-join keepers and
+   * compare texts within the (tiny) non-singleton groups.
    */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(normalizeText(col(textCol)).as("norm_text"))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dups"))
+    df.select(col(idCol).as("_gid"), normalizeText(col(textCol)).as("_norm"))
+      .select(col("_gid"),
+        xxhash64(lit(0), col("_norm")).as("h0"),
+        xxhash64(lit(1), col("_norm")).as("h1"))
+      .groupBy(col("h0"), col("h1"))
+      .agg(min(col("_gid")).as("keep_id"), count(lit(1)).as("dups"))
+      .select("keep_id", "dups")
 
   /** Word n-gram shingles (space-joined); short docs yield one whole-text shingle. */
   def shingles(text: Column, n: Int): Column = {
@@ -92,15 +100,25 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = docs.select(col("id"),
+    val buckets = docs.select(col("id"), size(col("sh")).as("sz"),
         posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
-    // skew guard: drop pathologically hot buckets (boilerplate clusters)
-    val sized = buckets.withColumn("bsz",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
-      .where(col("bsz") <= maxBucket).drop("bsz")
+    // skew guard: drop pathologically hot buckets (boilerplate clusters).
+    // groupBy-count + semi join, NOT a count-over-window — the window would
+    // shuffle AND sort every exploded band row; the aggregate's map-side
+    // combine ships one (band,key,count) per bucket per partition and AQE
+    // broadcasts the surviving-bucket list when small.
+    val smallBuckets = buckets.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= maxBucket).select("band", "key")
+    val sized = buckets.join(smallBuckets, Seq("band", "key"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = sized.as("x").join(sized.as("y"), Seq("band", "key"))
       .where(col("x.id") < col("y.id"))
+      // length-ratio prefilter: J(A,B) >= t implies min(|A|,|B|)/max >= t
+      // (|A∩B| <= min, |A∪B| >= max), so these pairs can be pruned BEFORE
+      // the shingle-array verify joins ever ship an array
+      .where(least(col("x.sz"), col("y.sz")).cast("double") /
+        greatest(col("x.sz"), col("y.sz")).cast("double") >= threshold)
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
     val out = cands
@@ -109,15 +127,35 @@ object Dedup {
       .withColumn("jac", round(jaccard(col("sha"), col("shb")), 4))
       .where(col("jac") >= threshold)
       .select(col("a"), col("b"), col("jac"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (tiny) pair result, then release the working caches —
+    // repeated invocations in one session must not accumulate doc-sized
+    // cached partitions (only the pair cache, O(result), lingers)
+    out.count()
+    docs.unpersist(false)
+    sized.unpersist(false)
     out
   }
 
-  /** 64-bit SimHash over whitespace tokens (two 32-bit murmurs combined). */
+  /** Engine-portable per-token hash: polynomial rolling hash mod 1e9+7 over
+    * UTF-16 code units — deliberately replayable in plain SQL (the q42
+    * DuckDB oracle mirrors it bit-exactly via list_reduce + ascii, the same
+    * construction as the q33 fingerprint oracle). */
+  private[pipeline] def polyHash(t: String, seed: Long, mult: Long): Long = {
+    var a = seed
+    var i = 0
+    while (i < t.length) { a = (a * mult + t.charAt(i)) % 1000000007L; i += 1 }
+    a
+  }
+
+  /** 64-bit SimHash over whitespace tokens. The token hash packs two
+    * independent polynomial hashes as hi<<32|lo; each half is < 2^30, so
+    * bits 30-31 and 62-63 are structurally zero — the effective signature
+    * is 60 bits, which the 4x16-bit pigeonhole banding still covers. */
   private[pipeline] def simhash64(toks: Seq[String]): Long = {
     val acc = new Array[Int](64)
     toks.foreach { t =>
-      val h = (MurmurHash3.stringHash(t, 0x9747b28c).toLong << 32) |
-        (MurmurHash3.stringHash(t, 0x85ebca6b).toLong & 0xffffffffL)
+      val h = (polyHash(t, 7L, 131L) << 32) | polyHash(t, 11L, 137L)
       var i = 0
       while (i < 64) { if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
     }
