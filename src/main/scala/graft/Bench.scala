@@ -54,7 +54,8 @@ object Bench {
     def enqueuePerSec: Double = enqueued / secs
   }
 
-  def crawlBench(cores: Int, nHosts: Int, nPages: Int): CrawlRun = {
+  def crawlBench(cores: Int, nHosts: Int, nPages: Int,
+      budget: Int = Int.MaxValue / 2): CrawlRun = {
     val spark = mkSpark(cores)
     try {
       val spec = Corpus.WebSpec(nHosts, nPages)
@@ -67,7 +68,7 @@ object Bench {
       val pagesDf = Corpus.pages(spark, spec).toDF()
       val imagesDf = Corpus.images(spark, spec).toDF()
       val engine = new CrawlEngine(spark,
-        CrawlConfig(hostBudget = Int.MaxValue / 2, maxDepth = 2), pagesDf,
+        CrawlConfig(hostBudget = budget, maxDepth = 2), pagesDf,
         imagesDf, dir)
       engine.prepareCorpus() // one-time setup excluded from the timed region
       val seedsDf = spark.read.parquet(s"$dir/corpus_resolved")
@@ -101,7 +102,8 @@ object Bench {
    * 2-3x), and separate processes mirror separate spark-submit runs at two
    * cluster sizes.
    */
-  def crawlBenchIsolated(cores: Int, nHosts: Int, nPages: Int): Option[CrawlRun] = {
+  def crawlBenchIsolated(cores: Int, nHosts: Int, nPages: Int,
+      budget: Int = Int.MaxValue / 2): Option[CrawlRun] = {
     val java = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val addOpens = Seq(
@@ -121,6 +123,7 @@ object Bench {
     pb.environment().put("SPARK_GRAFT_BENCH_CORES", cores.toString)
     pb.environment().put("SPARK_GRAFT_BENCH_PAGES", nPages.toString)
     pb.environment().put("SPARK_GRAFT_BENCH_HOSTS", nHosts.toString)
+    pb.environment().put("SPARK_GRAFT_BENCH_BUDGET", budget.toString)
     pb.environment().put("SPARK_GRAFT_AQE", "false")
     pb.environment().put("SPARK_GRAFT_SHUFFLE_PARTS", cores.toString)
     val proc = pb.start()
@@ -175,7 +178,9 @@ object Bench {
     if (onlyCrawl) {
       val coreList = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "8,32")
         .split(",").map(_.trim.toInt).toSeq
-      val runs = coreList.map(c => crawlBench(c, benchHosts, benchPages))
+      val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET",
+        (Int.MaxValue / 2).toString).toInt
+      val runs = coreList.map(c => crawlBench(c, benchHosts, benchPages, budget))
       runs.foreach(r => println(
         f"CRAWLRUN cores=${r.cores} pages=${r.pages} fetched=${r.fetched} " +
           f"enqueued=${r.enqueued} secs=${r.secs}%.3f"))
@@ -207,19 +212,34 @@ object Bench {
     // transparency; the hardware's own turbo cap is calibrated first.
     val nLo = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4").toInt
     val nHi = 4 * nLo
-    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+    // politeness-constrained leg: the reference envelope (10 connections/
+    // host, BASELINE.md §A) over a smaller corpus => a genuinely multi-cycle
+    // crawl (pages/(hosts*budget) cycles), not one mega-batch
+    val politeTrials = sys.env.getOrElse("SPARK_GRAFT_BENCH_POLITE_TRIALS", "2").toInt
+    val politeHosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_POLITE_HOSTS", "64").toInt
+    val politePages = sys.env.getOrElse("SPARK_GRAFT_BENCH_POLITE_PAGES", "12800").toInt
+    val politeBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_POLITE_BUDGET", "10").toInt
     val hwCap = if (skipCrawl) 1.0 else hwScalingCap(nLo, nHi)
     var runsLo = List.empty[CrawlRun] // nLo cores, full pages (strong)
     var runsHi = List.empty[CrawlRun] // nHi cores, full pages (strong+weak)
     var runsWk = List.empty[CrawlRun] // nLo cores, pages/4 (weak)
-    if (!skipCrawl) (1 to trials).foreach { _ =>
+    var runsPlLo = List.empty[CrawlRun] // politeness envelope, nLo cores
+    var runsPlHi = List.empty[CrawlRun] // politeness envelope, nHi cores
+    if (!skipCrawl) (1 to trials).foreach { t =>
       runsLo = runsLo ++ crawlBenchIsolated(nLo, benchHosts, benchPages)
       runsHi = runsHi ++ crawlBenchIsolated(nHi, benchHosts, benchPages)
       runsWk = runsWk ++ crawlBenchIsolated(nLo, benchHosts / 4, benchPages / 4)
+      if (t <= politeTrials) {
+        runsPlLo = runsPlLo ++ crawlBenchIsolated(nLo, politeHosts, politePages, politeBudget)
+        runsPlHi = runsPlHi ++ crawlBenchIsolated(nHi, politeHosts, politePages, politeBudget)
+      }
     }
     val cLo = runsLo.sortBy(_.secs).headOption
     val cHi = runsHi.sortBy(_.secs).headOption
     val cWk = runsWk.sortBy(_.secs).headOption
+    val cPlLo = runsPlLo.sortBy(_.secs).headOption
+    val cPlHi = runsPlHi.sortBy(_.secs).headOption
     val effStrong = for (a <- cLo; b <- cHi) yield b.fetchedPerSec / (4.0 * a.fetchedPerSec)
     // weak: per-core load equal; perfect scaling => equal wall time
     val effWeak = for (a <- cWk; b <- cHi) yield a.secs / b.secs
@@ -228,6 +248,12 @@ object Bench {
     val qs = results.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     def trialsJson(rs: List[CrawlRun]) = rs.map(r => f(r.secs)).mkString("[", ",", "]")
+    val politeJson = (for (a <- cPlLo; b <- cPlHi) yield
+      s""","polite":{"pages":${a.pages},"budget":$politeBudget,""" +
+        s""""local$nLo":{"secs":${f(a.secs)},"fetched_per_sec":${f(a.fetchedPerSec)},"trials":${trialsJson(runsPlLo)}},""" +
+        s""""local$nHi":{"secs":${f(b.secs)},"fetched_per_sec":${f(b.fetchedPerSec)},"trials":${trialsJson(runsPlHi)}},""" +
+        s""""scaling_efficiency_strong":${f(b.fetchedPerSec / (4.0 * a.fetchedPerSec))}}""")
+      .getOrElse("")
     val crawlJson = (for (a <- cLo; b <- cHi; w <- cWk; es <- effStrong; ew <- effWeak) yield
       s""","crawl":{"pages":${a.pages},""" +
         s""""local$nLo":{"secs":${f(a.secs)},"fetched_per_sec":${f(a.fetchedPerSec)},"enqueue_per_sec":${f(a.enqueuePerSec)},"trials":${trialsJson(runsLo)}},""" +
@@ -235,7 +261,8 @@ object Bench {
         s""""weak_local$nLo":{"pages":${w.pages},"secs":${f(w.secs)},"fetched_per_sec":${f(w.fetchedPerSec)},"trials":${trialsJson(runsWk)}},""" +
         s""""scaling_efficiency_strong":${f(es)},""" +
         s""""scaling_efficiency_weak":${f(ew)},""" +
-        s""""hw_scaling_cap":${f(hwCap)}}""").getOrElse("")
+        s""""scaling_efficiency_weak_hw_normalized":${f(math.min(1.0, ew / math.max(hwCap, 1e-9)))},""" +
+        s""""hw_scaling_cap":${f(hwCap)}}$politeJson""").getOrElse("")
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$crawlJson}""")
   }
 }

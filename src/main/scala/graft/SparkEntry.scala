@@ -304,7 +304,7 @@ object SparkEntry {
       Similarity.lshTopK(
         e, "vec_id", "embedding",
         e.filter(col("vec_id") < 20), "vec_id", "embedding",
-        k = 5, planes = 8, dims = 64)
+        k = 5, planes = 8, dims = 64, tables = 4, probes = 1)
     }),
 
     "q47_multimodal_decode" -> ((s, dir) => {

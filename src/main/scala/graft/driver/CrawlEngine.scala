@@ -44,6 +44,9 @@ final class CrawlEngine(
     * Iceberg-backed [[SnapshotStore]] here to run on a real catalog. */
   val snap: SnapshotStore =
     Option(store).getOrElse(new SnapTable(spark, s"$workDir/state"))
+  // codegen'd URL expressions (graft_canonicalize / graft_host) for the
+  // hot enqueue projection — registered idempotently per session
+  graft.functions.UrlExpressions.register(spark)
   private val corpusPath = s"$workDir/corpus_resolved"
   private val imagesPath = s"$workDir/images_resolved"
   private var seenCountEstimate: Long = 0L
@@ -156,9 +159,9 @@ final class CrawlEngine(
         "use resume() or point at a fresh workdir")
     prepareCorpus()
     val rows = seedsRaw
-      .select(canonicalizeUdf($"raw").as("url")).filter($"url".isNotNull)
+      .select(call_function("graft_canonicalize", $"raw").as("url")).filter($"url".isNotNull)
       .dropDuplicates("url")
-      .withColumn("host", hostOfUdf($"url"))
+      .withColumn("host", call_function("graft_host", $"url"))
       .withColumn("depth", lit(0))
       .withColumn("prio", lit(0L))
       .withColumn("status", lit(Status.New))
@@ -190,10 +193,10 @@ final class CrawlEngine(
     val prev = snap.latest.getOrElse(sys.error("engine not initialized"))
     val frontier = loadFrontier(prev)
     val rows = seeds.toDF("raw")
-      .select(canonicalizeUdf($"raw").as("url")).filter($"url".isNotNull)
+      .select(call_function("graft_canonicalize", $"raw").as("url")).filter($"url".isNotNull)
       .dropDuplicates("url")
       .join(frontier.select("url"), Seq("url"), "left_anti")
-      .withColumn("host", hostOfUdf($"url"))
+      .withColumn("host", call_function("graft_host", $"url"))
       .withColumn("depth", lit(0))
       .withColumn("prio", lit(prev.cycle))
       .withColumn("status", lit(Status.New))
@@ -457,7 +460,7 @@ final class CrawlEngine(
         // the candidate urls' bucket directories of the frontier snapshot —
         // O(candidate buckets) IO per cycle, not O(frontier)
         val candBuckets = maybe
-          .select(hostBucket(hostOfUdf($"url"), config.numBuckets).as("b"))
+          .select(hostBucket(call_function("graft_host", $"url"), config.numBuckets).as("b"))
           .distinct().as[Int].collect().toSet
         val seenSide =
           if (candBuckets.isEmpty) frontier.select("url").where(lit(false))
@@ -470,7 +473,7 @@ final class CrawlEngine(
         definitelyNew.unionByName(confirmed)
       } else batchLinks.join(frontier.select("url"), Seq("url"), "left_anti")
     val newRows = preFiltered
-      .withColumn("host", hostOfUdf($"url"))
+      .withColumn("host", call_function("graft_host", $"url"))
       .withColumn("bucket", hostBucket($"host", config.numBuckets))
       .withColumn("prio", lit(cycle))
       .withColumn("status", lit(Status.New))

@@ -69,43 +69,95 @@ object Similarity {
     (math.floorMod(m, 2000003L).toDouble / 1000001.5) - 1.0
   }
 
-  /** Sign-LSH bucket id: one bit per hyperplane from the sign of v·plane. */
-  def lshBucketUdf(planes: Int, dims: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+  /** Per-table sign bits of `v` under the (table-seeded) hyperplane set:
+    * table t uses global plane indices t*planes..t*planes+planes-1, so
+    * tables=1 reproduces the single-table bucketing exactly. */
+  private def signBits(v: Seq[Float], mat: Array[Array[Double]],
+      planes: Int, dims: Int, table: Int): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var d = 0
+      val row = mat(table * planes + p)
+      while (d < v.length && d < dims) { s += row(d) * v(d); d += 1 }
+      if (s > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  private def planeMatrix(planes: Int, dims: Int, tables: Int): Array[Array[Double]] =
+    Array.tabulate(planes * tables, dims)((p, d) => planeComponent(p, d))
+
+  /** Sign-LSH bucket id per hash table: array(tables) of one-bucket longs. */
+  def lshBucketsUdf(planes: Int, dims: Int, tables: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
     // materialize the plane matrix once per executor via closure capture
-    val mat: Array[Array[Double]] =
-      Array.tabulate(planes, dims)((p, d) => planeComponent(p, d))
+    val mat = planeMatrix(planes, dims, tables)
+    udf((v: Seq[Float]) =>
+      (0 until tables).map(t => signBits(v, mat, planes, dims, t)))
+  }
+
+  /** Query-side multi-probe expansion: for each table, the exact bucket
+    * plus every bucket within hamming radius `probes` of it (0 => exact
+    * only; 1 => +planes flips; 2 => +C(planes,2) double flips). Returns
+    * (table, bucket) pairs — the standard multi-probe LSH trick: probing
+    * neighbour buckets recovers the recall that a near-miss sign flip on a
+    * single plane would otherwise lose, without more tables. */
+  def lshProbesUdf(planes: Int, dims: Int, tables: Int, probes: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(probes <= 2, "probe radius > 2 explodes candidate count; add tables instead")
+    val mat = planeMatrix(planes, dims, tables)
     udf((v: Seq[Float]) => {
-      var bucket = 0L
-      var p = 0
-      while (p < planes) {
-        var s = 0.0
-        var d = 0
-        val row = mat(p)
-        while (d < v.length && d < dims) { s += row(d) * v(d); d += 1 }
-        if (s > 0) bucket |= (1L << p)
-        p += 1
+      val out = Seq.newBuilder[(Int, Long)]
+      var t = 0
+      while (t < tables) {
+        val b = signBits(v, mat, planes, dims, t)
+        out += ((t, b))
+        if (probes >= 1) {
+          var i = 0
+          while (i < planes) {
+            out += ((t, b ^ (1L << i)))
+            if (probes >= 2) {
+              var j = i + 1
+              while (j < planes) { out += ((t, b ^ (1L << i) ^ (1L << j))); j += 1 }
+            }
+            i += 1
+          }
+        }
+        t += 1
       }
-      bucket
+      out.result()
     })
   }
 
   /**
-   * LSH-bucketed approximate top-k: bucket corpus and queries with the same
-   * hyperplanes, equi-join on bucket, exact cosine re-score, window top-k.
-   * The corpus-side bucket assignment is computable incrementally (a write-
-   * time partition column at scale); search touches only matching buckets.
+   * LSH-bucketed approximate top-k: bucket the corpus once per hash table,
+   * probe each query's bucket neighbourhood, equi-join on (table, bucket),
+   * exact cosine re-score, window top-k. Recall scales as
+   * 1-(1-p_table)^tables with p_table boosted by multi-probe — tunable to
+   * >=0.9 recall@k without touching more than a sliver of the corpus. At
+   * write time the corpus-side (table 0) bucket is a partition column, so a
+   * probe reads only matching buckets; candidates stay an equi-join (never
+   * a cross product) at any corpus size.
    */
   def lshTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, planes: Int = 8, dims: Int = 64): DataFrame = {
-    val bucketOf = lshBucketUdf(planes, dims)
-    val c = corpus.select(col(idCol).as("neighbor"),
-      asDouble(col(vecCol)).as("cv"), bucketOf(col(vecCol)).as("bucket"))
-    val q = broadcast(queries.select(col(qIdCol).as("q_id"),
-      asDouble(col(qVecCol)).as("qv"), bucketOf(col(qVecCol)).as("bucket")))
-    c.join(q, Seq("bucket"))
+      k: Int, planes: Int = 8, dims: Int = 64,
+      tables: Int = 1, probes: Int = 0): DataFrame = {
+    val bucketsOf = lshBucketsUdf(planes, dims, tables)
+    val probesOf = lshProbesUdf(planes, dims, tables, probes)
+    val c = corpus.select(col(idCol).as("neighbor"), asDouble(col(vecCol)).as("cv"),
+        posexplode(bucketsOf(col(vecCol))).as(Seq("tbl", "bucket")))
+    val q = broadcast(queries
+      .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("qv"),
+        explode(probesOf(col(qVecCol))).as("tb"))
+      .select(col("q_id"), col("qv"),
+        col("tb._1").as("tbl"), col("tb._2").as("bucket")))
+    c.join(q, Seq("tbl", "bucket"))
       .where(col("neighbor") =!= col("q_id"))
+      // a pair can match in several tables/probes; dedupe BEFORE scoring
+      .dropDuplicates("q_id", "neighbor")
       .withColumn("sim", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor"))))

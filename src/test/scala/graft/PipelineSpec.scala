@@ -179,6 +179,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits >= 10, s"top-1 recall too low: $hits/40")
   }
 
+  test("lshTopK multi-table + multi-probe: recall@5 >= 0.9 vs brute force") {
+    val vecs = vecsDf(300, 32)
+    val queries = vecs.filter($"vec_id" < 40)
+    def topSets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val brute = topSets(Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5))
+    val lsh = topSets(Similarity.lshTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5,
+      planes = 6, dims = 32, tables = 8, probes = 2))
+    val recall = brute.map { case (q, bs) =>
+      lsh.getOrElse(q, Set.empty[Long]).intersect(bs).size.toDouble / bs.size
+    }.sum / brute.size
+    assert(recall >= 0.9, f"recall@5 $recall%.3f < 0.9")
+  }
+
   // ---- multimodal -------------------------------------------------------
 
   private val encPng16x12 =
