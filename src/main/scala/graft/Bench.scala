@@ -192,7 +192,12 @@ object Bench {
     // JVM/codegen warmup so the first measured query isn't charged for it
     SparkEntry.queries.get("q14_o9_status_counts")
       .foreach(f => f(spark, sfDir).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // "entry" is the end-to-end correctness fixture (3-page crawl through
+    // the full engine) — gated by Verify/CORRECTNESS and the crawl bench
+    // below at 4 orders of magnitude more pages; timing a fixture crawl in
+    // the query suite would only measure Spark's fixed per-job latency
+    val results = SparkEntry.queries.toSeq.filter(_._1 != "entry")
+      .sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case _: Throwable =>

@@ -274,11 +274,12 @@ object SparkEntry {
     }),
 
     "q43_ngram_jaccard" -> ((s, dir) => {
-      // shingle each doc ONCE in a projection BEFORE the self-join — the
+      // shingle each doc ONCE (compiled kernel) BEFORE the self-join — the
       // pair-scorer form (ngramJaccard over two text columns) recomputes
-      // every doc's shingle set twice, which dominated the q43 runtime
+      // every doc's shingle set twice through interpreted array lambdas,
+      // which dominated the q43 runtime
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.shingleSet(col("text"), 2).as("sh"))
+        .select(col("doc_id"), Dedup.shingleSetUdf(2)(col("text")).as("sh"))
       docs.as("x").join(docs.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
         .select(col("x.doc_id").as("a"),
           round(Dedup.jaccard(col("x.sh"), col("y.sh")), 4).as("jac"))

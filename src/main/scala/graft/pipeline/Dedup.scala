@@ -74,6 +74,85 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))))
 
+  // ---- compiled sketch kernels ------------------------------------------
+  // The Column combinators above are the semantic definition (and what the
+  // DuckDB oracles replay); the pair-generating hot paths use compiled
+  // Scala kernels instead, because Spark's higher-order array lambdas
+  // (transform/aggregate/filter) are CodegenFallback — evaluated
+  // INTERPRETED, element by element, with boxing — and a minhash sketch is
+  // ~10^2 lambda invocations per row. The kernel emits a bit-identical
+  // shingle SET (so q41/q43 values match the oracle exactly); only the
+  // internal signature hash family differs (mix64 affine vs seeded
+  // xxhash64), which can only affect LSH candidate recall, never values.
+
+  /** Exact compiled mirror of [[shingleSet]]: whitespace tokens, n-gram
+    * join by single spaces, first-occurrence distinct, whole-text fallback
+    * for short docs. */
+  private[pipeline] def shingleStrings(text: String, n: Int): Array[String] = {
+    val toks: Array[String] =
+      if (text == null) Array.empty
+      else text.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Array(toks.mkString(" "))
+    else {
+      val out = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        out += sb.toString
+        i += 1
+      }
+      out.toArray
+    }
+  }
+
+  def shingleSetUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => shingleStrings(text, n))
+
+  private def mix64(x: Long): Long = graft.image.ImageCodec.mix64(x)
+
+  /** FNV-1a 64-bit over UTF-16 units, finalized by mix64. */
+  private[pipeline] def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+
+  /** One compiled pass: text → (shingle set, per-band LSH bucket keys).
+    * Each shingle is strongly hashed once; the `numHashes` permutations are
+    * cheap mix64 affine derivations of that hash (standard 2-universal
+    * minhash construction); band keys fold rowsPerBand signature slots. */
+  def sketchUdf(n: Int, bands: Int, rowsPerBand: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      val sh = shingleStrings(text, n)
+      val numHashes = bands * rowsPerBand
+      val sig = new Array[Long](numHashes)
+      java.util.Arrays.fill(sig, Long.MaxValue)
+      var i = 0
+      while (i < sh.length) {
+        val h = hash64(sh(i))
+        var p = 0
+        while (p < numHashes) {
+          val v = mix64(h ^ (0x9e3779b97f4a7c15L * (p + 1)))
+          if (v < sig(p)) sig(p) = v
+          p += 1
+        }
+        i += 1
+      }
+      val keys = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var k = 0x100000001b3L * (b + 1)
+        var r = 0
+        while (r < rowsPerBand) { k = mix64(k ^ sig(b * rowsPerBand + r)); r += 1 }
+        keys(b) = k
+        b += 1
+      }
+      (sh.toSeq, keys.toSeq)
+    })
+
   /**
    * MinHash+LSH near-duplicate pairs, exact-verified:
    * shingle(n) → signature(bands*rowsPerBand) → band buckets → self-join →
@@ -93,15 +172,15 @@ object Dedup {
       rowsPerBand: Int = 3,
       threshold: Double = 0.8,
       maxBucket: Int = 1000): DataFrame = {
-    // signature + shingle set computed ONCE and cached: every downstream
-    // branch (bucket explode, both sides of the self-join, both verify
-    // joins) would otherwise recompute bands*rowsPerBand xxhash64 passes
-    // over every shingle — the dominant cost of the whole operator.
-    val docs = df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
+    // sketch (shingle set + band keys) computed ONCE by the compiled kernel
+    // and cached: every downstream branch (bucket explode, both sides of
+    // the self-join, both verify joins) reuses it
+    val sk = sketchUdf(n, bands, rowsPerBand)
+    val docs = df.select(col(idCol).as("id"), sk(col(textCol)).as("sk"))
+      .select(col("id"), col("sk._1").as("sh"), col("sk._2").as("bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = docs.select(col("id"), size(col("sh")).as("sz"),
-        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
+        posexplode(col("bands")).as(Seq("band", "key")))
     // skew guard: drop pathologically hot buckets (boilerplate clusters).
     // groupBy-count + semi join, NOT a count-over-window — the window would
     // shuffle AND sort every exploded band row; the aggregate's map-side
