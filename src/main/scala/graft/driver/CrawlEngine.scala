@@ -332,8 +332,12 @@ final class CrawlEngine(
     // and fetch misses (connection errors) come from a second, column-pruned
     // url-only pass. Batch size is bounded by hostBudget/globalBatchCap, so
     // the broadcast stays executor-memory-sized at any frontier scale.
+    // NOTE: headers deliberately NOT selected — nothing downstream of the
+    // fetch consumes them (robots synthesis reads them pre-claim, the
+    // frontier keeps its own copy), and a map column would dominate the
+    // serialized size of this broadcast batch
     val claimed = allowed.select($"url", $"host", $"bucket", $"depth",
-      $"prio", $"retries", $"headers").persist(StorageLevel.MEMORY_AND_DISK)
+      $"prio", $"retries").persist(StorageLevel.MEMORY_AND_DISK)
     val corpus = resolvedCorpus.withColumnRenamed("src_url", "url")
     val hits = corpus.join(broadcast(claimed), Seq("url"), "inner")
     // urls claimed but absent from the corpus => connection error; the semi
@@ -438,30 +442,31 @@ final class CrawlEngine(
     // ---- materialize the heavy shared chain in ONE linear job -----------
     // polite → robots-gate → fetch-join → respond → parse → explode →
     // batchLinks is a straight line through every persisted intermediate;
-    // forcing it with a single count fills all the caches SEQUENTIALLY.
+    // forcing it with a single aggregate fills all the caches SEQUENTIALLY.
     // Without this, the parallel branches of the stats union race to
     // compute the same uncached ancestors concurrently (cache misses on
-    // both sides) and the parse/fetch work runs 2-3x.
-    val linksCount = phaseTimed("links")(batchLinks.count())
-
+    // both sides) and the parse/fetch work runs 2-3x. The same action also
+    // returns the bloom-maybe candidates' host buckets, so the seen-side
+    // partition pruning costs no extra job.
     ensureBloom(frontier)
-    var maybeCache: Option[DataFrame] = None
-    val preFiltered =
+    val (linksCount, preFiltered) =
       if (config.useBloom && seenCountEstimate > 0) {
         val mightContain = bloomContainsUdf(mainBloom.get, recentBloom.get)
+        val bucketOfUrl =
+          hostBucket(call_function("graft_host", $"url"), config.numBuckets)
+        val aggRow = phaseTimed("links")(batchLinks.agg(
+          count(lit(1)),
+          collect_set(when(mightContain($"url"), bucketOfUrl))).head())
+        val n = aggRow.getLong(0)
+        val candBuckets = aggRow.getSeq[Int](1).toSet
         // bloom=no ⇒ definitely unseen (skip the exact join); bloom=maybe ⇒
         // confirm with exact left_anti against the seen ledger
         val definitelyNew = batchLinks.filter(!mightContain($"url"))
         val maybe = batchLinks.filter(mightContain($"url"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        maybeCache = Some(maybe)
         // partition pruning on the seen side: a url's frontier row can only
         // live in bucket(host(url)), so the exact confirm join reads ONLY
         // the candidate urls' bucket directories of the frontier snapshot —
         // O(candidate buckets) IO per cycle, not O(frontier)
-        val candBuckets = maybe
-          .select(hostBucket(call_function("graft_host", $"url"), config.numBuckets).as("b"))
-          .distinct().as[Int].collect().toSet
         val seenSide =
           if (candBuckets.isEmpty) frontier.select("url").where(lit(false))
           else if (candBuckets.size * 2 <= config.numBuckets)
@@ -470,8 +475,9 @@ final class CrawlEngine(
               .getOrElse(frontier.select("url").where(lit(false)))
           else frontier.select("url") // most buckets touched: cached full scan wins
         val confirmed = maybe.join(seenSide, Seq("url"), "left_anti")
-        definitelyNew.unionByName(confirmed)
-      } else batchLinks.join(frontier.select("url"), Seq("url"), "left_anti")
+        (n, definitelyNew.unionByName(confirmed))
+      } else (phaseTimed("links")(batchLinks.count()),
+        batchLinks.join(frontier.select("url"), Seq("url"), "left_anti"))
     val newRows = preFiltered
       .withColumn("host", call_function("graft_host", $"url"))
       .withColumn("bucket", hostBucket($"host", config.numBuckets))
@@ -594,7 +600,7 @@ final class CrawlEngine(
         "dangling_images" -> one("dangling").toDouble)))
 
     (Seq(frontier, polite, robotsUnknown, claimed, responded, ok, outcomes,
-      newRows, robotsNew, batchLinks) ++ maybeCache).foreach(_.unpersist())
+      newRows, robotsNew, batchLinks)).foreach(_.unpersist())
     // O9 from this cycle's stats: work remains iff something was enqueued,
     // deferred (robots/politeness) or re-enqueued for retry — saves the
     // final empty confirmation cycle (and its full plan/codegen cost)

@@ -330,6 +330,40 @@ class EngineParitySpec extends AnyFunSuite {
     assert(out.filter(col("body_len") > 0).count() === 3)
   }
 
+  test("SnapshotStore seam: a custom injected store backs the whole crawl") {
+    import graft.plans.{SnapTable, Snapshot, SnapshotStore}
+    // delegating store (what an Iceberg-backed implementation would be):
+    // the engine must route every read/commit through the injected trait
+    val dir = Files.createTempDirectory("graft-store").toString
+    val inner = new SnapTable(spark, s"$dir/custom-store")
+    var commits = 0
+    val recording = new SnapshotStore {
+      def latestVersion = inner.latestVersion
+      def readSnapshot(v: Long) = inner.readSnapshot(v)
+      def readTable(s: Snapshot, t: String) = inner.readTable(s, t)
+      def readTableBuckets(s: Snapshot, t: String, b: Set[Int]) =
+        inner.readTableBuckets(s, t, b)
+      def readAppended(s: Snapshot, t: String) = inner.readAppended(s, t)
+      def commit(cycle: Long,
+          fullTables: Map[String, org.apache.spark.sql.DataFrame],
+          cowTables: Map[String, (org.apache.spark.sql.DataFrame, String, Set[Int])],
+          appends: Map[String, org.apache.spark.sql.DataFrame],
+          metrics: Map[String, Double]) = {
+        commits += 1
+        inner.commit(cycle, fullTables, cowTables, appends, metrics)
+      }
+    }
+    val engine = new CrawlEngine(spark, CrawlConfig(),
+      spark.createDataset(Fixtures.site3).toDF(),
+      spark.createDataset(Fixtures.imagesFor(Fixtures.site3)).toDF(),
+      dir, store = recording)
+    engine.run(Fixtures.site3Seeds)
+    assert(commits >= 2, "engine must commit through the injected store")
+    val oracle = RefOracle.crawl(Fixtures.site3, Fixtures.site3Seeds, CrawlConfig())
+    val visited = engine.visited.select("url").as[String].collect().toSet
+    assert(visited === oracle.visited)
+  }
+
   test("stale-retry — MasterTest.scala:128-138: stuck InProgress re-drained") {
     // inject an InProgress row older than staleCycles directly, then cycle
     val dir = Files.createTempDirectory("graft-stale").toString
