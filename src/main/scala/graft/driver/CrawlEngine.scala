@@ -50,6 +50,13 @@ final class CrawlEngine(
   private val corpusPath = s"$workDir/corpus_resolved"
   private val imagesPath = s"$workDir/images_resolved"
   private var seenCountEstimate: Long = 0L
+  // Upper-bound estimate of next cycle's claimed-batch size (maintained from
+  // seed counts and each cycle's pending total — no extra jobs). Picks the
+  // fetch/validate join strategy: politeness-bounded batches broadcast
+  // (bodies never shuffle); a mega-wave above broadcastBatchLimit switches
+  // to shuffle-hash joins — the plan a cluster planner would pick when the
+  // batch no longer fits a driver-built broadcast relation.
+  private var expectedBatch: Long = 0L
   // Cycle-persistent URL-seen filter (north_star), two-level:
   //  - MAIN covers the whole frontier as of its last rebuild (amortized
   //    O(1)/url: rebuilt only when the seen count doubles);
@@ -175,6 +182,7 @@ final class CrawlEngine(
     val perBucket = rows.groupBy($"bucket").agg(count(lit(1))).collect()
     val buckets = perBucket.map(_.getInt(0)).toSet
     seenCountEstimate = perBucket.map(_.getLong(1)).sum
+    expectedBatch = seenCountEstimate
     snap.commit(cycle = 0,
       cowTables = Map("frontier" -> ((rows, "bucket", buckets))),
       fullTables = Map("robots" -> spark.emptyDataset[RobotsRow].toDF()),
@@ -217,6 +225,7 @@ final class CrawlEngine(
         cowTables = Map("frontier" -> ((next, "bucket", touched))),
         metrics = Map("seeds_added" -> n.toDouble))
       seenCountEstimate += n
+      expectedBatch += n
       // injected seeds must become visible to the URL-seen filter BEFORE the
       // next drain: a later-crawled page linking back to an injected seed
       // would otherwise take the "bloom says no => definitely unseen" fast
@@ -262,6 +271,7 @@ final class CrawlEngine(
   }
 
   def runCycle(cycle: Long): (Snapshot, Long, Long) = {
+    val tPlan0 = System.nanoTime()
     val prev = snap.latest.getOrElse(sys.error("engine not initialized"))
     val frontier = loadFrontier(prev).persist(StorageLevel.MEMORY_AND_DISK)
     val robots = loadRobots(prev)
@@ -339,12 +349,24 @@ final class CrawlEngine(
     val claimed = allowed.select($"url", $"host", $"bucket", $"depth",
       $"prio", $"retries").persist(StorageLevel.MEMORY_AND_DISK)
     val corpus = resolvedCorpus.withColumnRenamed("src_url", "url")
-    val hits = corpus.join(broadcast(claimed), Seq("url"), "inner")
-    // urls claimed but absent from the corpus => connection error; the semi
-    // join reads only the corpus url column (pruned scan, no bodies)
-    val present = corpus.select($"url")
-      .join(broadcast(claimed.select($"url")), Seq("url"), "left_semi")
-    val misses = claimed.join(broadcast(present), Seq("url"), "left_anti")
+    // join strategy by estimated batch size: bounded batches broadcast into
+    // the corpus scan (bodies never shuffle); a mega-wave too big for a
+    // driver-built broadcast relation shuffle-hash-joins by url instead —
+    // one distributed shuffle of the claimed wave's pages, no O(batch)
+    // single-threaded driver work
+    val bigBatch = expectedBatch > config.broadcastBatchLimit
+    val hits =
+      if (bigBatch) corpus.join(claimed.hint("shuffle_hash"), Seq("url"), "inner")
+      else corpus.join(broadcast(claimed), Seq("url"), "inner")
+    // urls claimed but absent from the corpus => connection error; the semi/
+    // anti joins read only the corpus url column (pruned scan, no bodies)
+    val misses = (if (bigBatch)
+      claimed.join(corpus.select($"url").hint("shuffle_hash"), Seq("url"), "left_anti")
+    else {
+      val present = corpus.select($"url")
+        .join(broadcast(claimed.select($"url")), Seq("url"), "left_semi")
+      claimed.join(broadcast(present), Seq("url"), "left_anti")
+    })
       .withColumn("f_status", lit(null).cast("int"))
       .withColumn("f_ct", lit(null).cast("string"))
       .withColumn("f_body", lit(null).cast("string"))
@@ -403,6 +425,11 @@ final class CrawlEngine(
     // cluster just to compute a per-row PSNR
     val okImages = ok.filter($"f_image_id".isNotNull)
       .select($"f_image_id".as("image_id"), $"url".as("src_url"), $"depth")
+    // okImages is ids-only (~tens of bytes/row) — broadcast beats a
+    // shuffle-hash join at ANY realistic batch size here, because the
+    // shuffle alternative moves the wide pixel-bytes column; bytes are
+    // validated in place at every batch size. (Beyond ~10^7-row batches,
+    // bucket both tables by image_id for a co-located join instead.)
     val matchedImages = resolvedImages
       .join(broadcast(okImages), Seq("image_id"), "inner")
       .select($"image_id", $"w", $"h", $"fmt", $"caption",
@@ -448,6 +475,8 @@ final class CrawlEngine(
     // both sides) and the parse/fetch work runs 2-3x. The same action also
     // returns the bloom-maybe candidates' host buckets, so the seen-side
     // partition pruning costs no extra job.
+    if (sys.env.get("GRAFT_CYCLE_TIMING").contains("1"))
+      System.err.println(f"  [phase plan-build] ${(System.nanoTime() - tPlan0) / 1e9}%.2fs")
     ensureBloom(frontier)
     val (linksCount, preFiltered) =
       if (config.useBloom && seenCountEstimate > 0) {
@@ -518,7 +547,6 @@ final class CrawlEngine(
       .unionByName(tagged("robdef", robotsUnknown.agg(count(lit(1)).as("v1"))))
       .unionByName(tagged("robnew", robotsNew.agg(count(lit(1)).as("v1"))))
       .unionByName(tagged("drainable", drainable.agg(count(lit(1)).as("v1"))))
-      .unionByName(tagged("polite", polite.agg(count(lit(1)).as("v1"))))
     val statsRows = phaseTimed("stats")(stats.collect())
 
     def one(tag: String): Long = statsRows.collectFirst {
@@ -530,7 +558,10 @@ final class CrawlEngine(
     val dedupCount = linksCount - enqueuedCount
     val deferredRobots = one("robdef")
     val robotsFetched = one("robnew")
-    val deferredPolite = one("drainable") - one("polite")
+    // polite == allowed(=outcomes minus denied... exactly claimed+denied) +
+    // robots-deferred, so its count derives from branches already collected:
+    // polite = |outcomes| + |robotsUnknown| — one fewer stats branch per cycle
+    val deferredPolite = one("drainable") - (drainedCount + one("robdef"))
     seenCountEstimate += enqueuedCount
 
     val touched = (outStats.map(_.getInt(1)) ++ newStats.map(_.getInt(1))).toSet
@@ -589,7 +620,11 @@ final class CrawlEngine(
     val s = phaseTimed("commit")(snap.commit(cycle,
       cowTables = Map("frontier" -> ((frontierNext, "bucket", touched))),
       fullTables = if (robotsFetched > 0) Map("robots" -> robotsOut.drop("bucket")) else Map.empty,
-      appends = Map("output" -> outRows, "lineage" -> lineage),
+      // robots-only cycles (drained == 0) have structurally empty output;
+      // skipping the append avoids a full images-table scan against an
+      // empty batch when AQE isn't there to collapse it
+      appends = (if (drainedCount > 0) Map("output" -> outRows)
+        else Map.empty[String, DataFrame]) + ("lineage" -> lineage),
       metrics = Map(
         "cycle" -> cycle.toDouble,
         "drained" -> drainedCount.toDouble,
@@ -599,13 +634,14 @@ final class CrawlEngine(
         "deferred_robots" -> deferredRobots.toDouble,
         "dangling_images" -> one("dangling").toDouble)))
 
-    (Seq(frontier, polite, robotsUnknown, claimed, responded, ok, outcomes,
-      newRows, robotsNew, batchLinks)).foreach(_.unpersist())
+    phaseTimed("unpersist")((Seq(frontier, polite, robotsUnknown, claimed, responded, ok, outcomes,
+      newRows, robotsNew, batchLinks)).foreach(_.unpersist()))
     // O9 from this cycle's stats: work remains iff something was enqueued,
     // deferred (robots/politeness) or re-enqueued for retry — saves the
     // final empty confirmation cycle (and its full plan/codegen cost)
     val retriedCount = outStats.map(_.getLong(5)).sum
     val pending = enqueuedCount + deferredRobots + deferredPolite + retriedCount
+    expectedBatch = pending
     (s, drainedCount + robotsFetched, pending)
   }
 
@@ -636,8 +672,12 @@ final class CrawlEngine(
   def prepareResume(): Unit = {
     prepareCorpus()
     require(snap.latest.nonEmpty, "nothing to resume")
-    // rebuild the seen estimate for bloom sizing
-    seenCountEstimate = math.max(loadFrontier(snap.latest.get).count(), 1L)
+    // rebuild the seen estimate (bloom sizing) and the next-batch estimate
+    // (join-strategy choice) in one pass over the frontier
+    val counts = loadFrontier(snap.latest.get)
+      .agg(count(lit(1)), count(when($"status" === Status.New, 1))).head()
+    seenCountEstimate = math.max(counts.getLong(0), 1L)
+    expectedBatch = counts.getLong(1)
   }
 
   /** Resume from the latest committed snapshot (exactness: SURVEY §7.2). */

@@ -132,6 +132,7 @@ final case class CrawlConfig(
     useBloom: Boolean = true,
     globalBatchCap: Int = Int.MaxValue, // per-cycle drain cap (reference pulls 25/manager, unbounded pulls/cycle)
     usePolitenessMapGroups: Boolean = false, // window top-k (default) vs typed flatMapGroups token bucket
+    broadcastBatchLimit: Long = 250000L, // claimed batches estimated above this switch fetch/validate joins from broadcast to shuffle-hash
     defaultHeaders: Map[String, String] = Map.empty, // Request headers (Protocol.scala:33); per-seed overrides via initSeeds/addSeeds
     responseStages: Option[Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame]] = None,
     resultStages: Option[Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame]] = None,

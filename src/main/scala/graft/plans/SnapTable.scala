@@ -66,6 +66,20 @@ final class SnapTable(spark: SparkSession, root: String) extends SnapshotStore {
   private val rootPath: Path = Paths.get(root)
   Files.createDirectories(rootPath.resolve("snapshots"))
 
+  // Per-table schema cache: table schemas are fixed for the life of a store,
+  // so after the first read every per-cycle `spark.read.parquet` skips
+  // driver-side schema inference (footer reads) — measurable fixed cost at
+  // micro-cycle cadence. (An Iceberg catalog gives this for free.)
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  private def readParquet(table: String, dirs: Seq[String]): DataFrame = {
+    val cached = schemaCache.get(table)
+    val df = if (cached != null) spark.read.schema(cached).parquet(dirs: _*)
+             else spark.read.parquet(dirs: _*)
+    if (cached == null) schemaCache.put(table, df.schema)
+    df
+  }
+
   /** table -> (bucket -> data dir) for bucketed tables; -1 = unbucketed blob */
   type TableState = Map[String, Map[Int, String]]
 
@@ -90,7 +104,7 @@ final class SnapTable(spark: SparkSession, root: String) extends SnapshotStore {
   /** Read a bucketed state table at a snapshot: union of all bucket dirs. */
   def readTable(snap: Snapshot, table: String): Option[DataFrame] =
     snap.tables.get(table).filter(_.nonEmpty).map { buckets =>
-      spark.read.parquet(buckets.values.toSeq.sorted: _*)
+      readParquet(table, buckets.values.toSeq.sorted)
     }
 
   /**
@@ -104,12 +118,12 @@ final class SnapTable(spark: SparkSession, root: String) extends SnapshotStore {
     snap.tables.get(table)
       .map(_.filter { case (b, _) => buckets.contains(b) })
       .filter(_.nonEmpty)
-      .map(bs => spark.read.parquet(bs.values.toSeq.sorted: _*))
+      .map(bs => readParquet(table, bs.values.toSeq.sorted))
 
   /** Read an append-only table (all appended dirs across snapshots). */
   def readAppended(snap: Snapshot, table: String): Option[DataFrame] =
     snap.appended.get(table).filter(_.nonEmpty)
-      .map(dirs => spark.read.parquet(dirs.sorted: _*))
+      .map(dirs => readParquet(s"appended:$table", dirs.sorted))
 
   /**
    * Commit one micro-cycle atomically.
@@ -137,12 +151,22 @@ final class SnapTable(spark: SparkSession, root: String) extends SnapshotStore {
     var tables: TableState = parent.map(_.tables).getOrElse(Map.empty)
     var appended: Map[String, List[String]] = parent.map(_.appended).getOrElse(Map.empty)
 
+    def timed[T](label: String)(f: => T): T = {
+      if (!sys.env.get("GRAFT_CYCLE_TIMING").contains("1")) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(f"    [write $label] ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        r
+      }
+    }
+
     // all data files of the snapshot are independent — launch every table's
     // write as a concurrent Spark job and wait; the manifest (the only
     // atomicity point) is written strictly after all data lands
     val fullJobs = fullTables.toSeq.map { case (name, df) =>
       val dir = s"$root/data/$name/v$version"
-      (Future { df.write.mode("overwrite").parquet(dir) },
+      (Future { timed(s"full:$name")(df.write.mode("overwrite").parquet(dir)) },
         () => { tables += name -> Map(-1 -> dir) })
     }
 
@@ -160,9 +184,13 @@ final class SnapTable(spark: SparkSession, root: String) extends SnapshotStore {
         // (tasks x buckets tiny files — the classic partitioned-write
         // explosion); with it each bucket lands as one file
         (Future {
-          df.filter(df(bucketCol).isin(changed.toSeq: _*))
-            .repartition(df(bucketCol))
-            .write.mode("overwrite").partitionBy(bucketCol).parquet(cycleDir)
+          // explicit partition count: `repartition(col)` alone lets AQE
+          // coalesce the exchange down to a handful of partitions, which
+          // serializes the parquet write; pinning to the changed-bucket
+          // count keeps one write task per bucket (still one file/bucket)
+          timed(s"cow:$name")(df.filter(df(bucketCol).isin(changed.toSeq: _*))
+            .repartition(changed.size, df(bucketCol))
+            .write.mode("overwrite").partitionBy(bucketCol).parquet(cycleDir))
         }, () => {
           val prev = tables.getOrElse(name, Map.empty)
           val written: Map[Int, String] = changed.iterator.map { b =>
@@ -175,7 +203,7 @@ final class SnapTable(spark: SparkSession, root: String) extends SnapshotStore {
 
     val appendJobs = appends.toSeq.map { case (name, df) =>
       val dir = s"$root/data/$name/v$version"
-      (Future { df.write.mode("overwrite").parquet(dir) },
+      (Future { timed(s"append:$name")(df.write.mode("overwrite").parquet(dir)) },
         () => { appended += name -> (appended.getOrElse(name, Nil) :+ dir) })
     }
 

@@ -189,6 +189,23 @@ class EngineParitySpec extends AnyFunSuite {
     assertParity(e, o)
   }
 
+  test("mega-batch shuffle-join variant produces identical crawl") {
+    // broadcastBatchLimit=0 forces every cycle down the shuffle-hash fetch
+    // path (the plan used when a wave outgrows a driver-built broadcast);
+    // results must be byte-identical to the default broadcast plan
+    val cfg = CrawlConfig(maxDepth = 10, hostBudget = 5, broadcastBatchLimit = 0L)
+    val (e, o) = runBoth(Fixtures.hotHost, Fixtures.hotHostSeeds, cfg)
+    assertParity(e, o)
+    // misses leg of the shuffle path: an off-corpus link must surface as a
+    // connection error through the shuffle anti-join
+    val dead = Seq(
+      Fixtures.page("http://dl.test/", """<a href="/gone">x</a><a href="/ok">y</a>"""),
+      Fixtures.page("http://dl.test/ok", "fine"))
+    val (e2, o2) = runBoth(dead, Seq("http://dl.test/"), cfg)
+    assertParity(e2, o2)
+    assert(o2.statuses("http://dl.test/gone")._1 === Status.WithError)
+  }
+
   test("resume from snapshot reproduces the identical final state") {
     val dir = Files.createTempDirectory("graft-resume").toString
     val pages = Fixtures.hotHost
