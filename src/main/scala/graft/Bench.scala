@@ -252,7 +252,10 @@ object Bench {
     // transparency; the hardware's own turbo cap is calibrated first.
     val nLo = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4").toInt
     val nHi = 4 * nLo
-    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+    // 4 interleaved trials: the host time-shares CPUs in storms that can
+    // triple a single trial (raw arrays in the JSON show them); min-of-4
+    // makes one clean trial per level near-certain
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "4").toInt
     // politeness-constrained leg: the reference envelope (10 connections/
     // host, BASELINE.md §A) over a smaller corpus => a genuinely multi-cycle
     // crawl. Capped at a fixed cycle count: the zipf-hot host holds ~8% of
