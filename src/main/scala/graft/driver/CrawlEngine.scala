@@ -321,7 +321,24 @@ final class CrawlEngine(
         min_by($"headers", $"url").as("req_headers"))
       .select($"host", concat(split($"any_url", "/")(0), lit("//"), $"host",
         lit("/robots.txt")).as("src_url"), $"req_headers")
-    val robotsResp = robotsFetch.join(resolvedCorpus, Seq("src_url"), "left")
+    // the robots corpus scan is pruned by a pushed EndsWith filter (~one
+    // row per host) and joined with the SAME broadcast hits/misses shape as
+    // the page fetch: a plain `robotsFetch LEFT JOIN corpus` would stream —
+    // or worse, shuffle — the ENTIRE corpus every cycle to serve a
+    // left-preserved tiny side, even on cycles with zero pending robots
+    val corpusRobots = resolvedCorpus.filter($"src_url".endsWith("/robots.txt"))
+    val robotsHits = corpusRobots.join(broadcast(robotsFetch), Seq("src_url"), "inner")
+    val robotsMisses = robotsFetch.join(
+        broadcast(corpusRobots.select($"src_url")
+          .join(broadcast(robotsFetch.select($"src_url")), Seq("src_url"), "left_semi")),
+        Seq("src_url"), "left_anti")
+      .withColumn("f_status", lit(null).cast("int"))
+      .withColumn("f_err", lit(null).cast("string"))
+      .withColumn("f_body", lit(null).cast("string"))
+    val robotsResp = robotsHits
+      .select($"host", $"req_headers", $"f_status", $"f_err", $"f_body")
+      .unionByName(robotsMisses
+        .select($"host", $"req_headers", $"f_status", $"f_err", $"f_body"))
       .select($"host",
         when($"f_status" === 200 && $"f_err".isNull,
           robotsParseUdf($"f_body")).otherwise(lit(null)).as("parsed"),
