@@ -49,7 +49,8 @@ object Bench {
   }
 
   final case class CrawlRun(cores: Int, pages: Long, fetched: Long,
-      enqueued: Long, secs: Double, taskSecs: Double = 0.0, gcSecs: Double = 0.0) {
+      enqueued: Long, secs: Double, taskSecs: Double = 0.0, gcSecs: Double = 0.0,
+      spilledMB: Double = 0.0) {
     def fetchedPerSec: Double = fetched / secs
     def enqueuePerSec: Double = enqueued / secs
     /** mean busy executor threads: task-time / wall — vs `cores` shows
@@ -61,11 +62,13 @@ object Bench {
   private final class TaskClock extends org.apache.spark.scheduler.SparkListener {
     val taskNanos = new java.util.concurrent.atomic.AtomicLong
     val gcMillis = new java.util.concurrent.atomic.AtomicLong
+    val spilledBytes = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
         taskNanos.addAndGet(m.executorRunTime * 1000000L)
         gcMillis.addAndGet(m.jvmGCTime)
+        spilledBytes.addAndGet(m.memoryBytesSpilled)
       }
     }
   }
@@ -94,6 +97,7 @@ object Bench {
         .select(col("src_url").as("raw"))
       val t0 = System.nanoTime()
       clock.taskNanos.set(0L); clock.gcMillis.set(0L) // setup excluded
+      clock.spilledBytes.set(0L)
       engine.initSeeds(seedsDf) // distributed: seeds never touch the driver
       engine.drive(maxCycles)
       val secs = (System.nanoTime() - t0) / 1e9
@@ -103,7 +107,8 @@ object Bench {
       val fetched = statuses.getOrElse("Completed", 0L) +
         statuses.getOrElse("WithError", 0L)
       val run = CrawlRun(cores, seeded, fetched, seeded, secs,
-        clock.taskNanos.get / 1e9, clock.gcMillis.get / 1e3)
+        clock.taskNanos.get / 1e9, clock.gcMillis.get / 1e3,
+        clock.spilledBytes.get / 1e6)
       // tmpfs hygiene: drop this trial's corpus + snapshots so successive
       // trials don't accumulate gigabytes of shared-memory state
       deleteRec(new java.io.File(dir))
@@ -172,16 +177,49 @@ object Bench {
    * aggregate-throughput ratio with a pure busy-loop at both widths; the
    * engine's normalized efficiency = raw efficiency / this hardware cap.
    */
-  def hwScalingCap(n1: Int, n2: Int): Double = {
+  def hwScalingCap(n1: Int, n2: Int): Double =
+    hwCap(n1, n2) { iters =>
+      var x = 0.0d; var i = 0L
+      while (i < iters) { x += i * 1.000000001d; i += 1 }
+      if (x == 42.0) println(x) // defeat DCE
+    }
+
+  /**
+   * Memory-bandwidth parallel-scaling calibration: the register busy-loop
+   * above captures DVFS but not the memory subsystem, which is what
+   * data-processing threads actually contend for on ONE box (random hash
+   * probes + columnar scans are bandwidth-bound). Each thread streams its
+   * own 64 MiB array; the aggregate-throughput ratio at n2 vs n1 threads
+   * bounds what ANY memory-touching workload can scale to on this host. A
+   * real n2-executor cluster has n2/n1 x the memory channels — this cap is
+   * a property of the single-VM stand-in, not of the engine.
+   */
+  def hwMemScalingCap(n1: Int, n2: Int): Double = {
+    val words = 8 * 1024 * 1024 // 64 MiB per thread
+    val arrays = new java.util.concurrent.ConcurrentHashMap[Long, Array[Long]]()
+    // 0.5 x 600M word-reads = ~2.4 GiB streamed per thread per sample —
+    // long enough to saturate and measure the memory subsystem at width
+    hwCap(n1, n2, itersScale = 0.5) { iters =>
+      val a = arrays.computeIfAbsent(Thread.currentThread().getId,
+        _ => Array.tabulate(words)(_.toLong))
+      var sum = 0L; var pass = 0L
+      val passes = math.max(1L, iters / words)
+      while (pass < passes) {
+        var i = 0
+        while (i < words) { sum += a(i); i += 1 }
+        pass += 1
+      }
+      if (sum == 42L) println(sum) // defeat DCE
+    }
+  }
+
+  private def hwCap(n1: Int, n2: Int, itersScale: Double = 1.0)(
+      body: Long => Unit): Double = {
+    val iters = (600000000L * itersScale).toLong
     def aggPerSec(threads: Int): Double = {
-      val iters = 600000000L
       val t0 = System.nanoTime()
       val ts = (1 to threads).map { _ =>
-        val t = new Thread(() => {
-          var x = 0.0d; var i = 0L
-          while (i < iters) { x += i * 1.000000001d; i += 1 }
-          if (x == 42.0) println(x) // defeat DCE
-        })
+        val t = new Thread(() => body(iters))
         t.start(); t
       }
       ts.foreach(_.join())
@@ -202,6 +240,13 @@ object Bench {
     val benchHosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "256").toInt
     val skipCrawl = sys.env.get("SPARK_GRAFT_BENCH_SKIP_CRAWL").contains("1")
 
+    if (sys.env.get("SPARK_GRAFT_BENCH_HWCAP_ONLY").contains("1")) {
+      val nLo0 = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4").toInt
+      println(f"HWCAP cpu=${hwScalingCap(nLo0, 4 * nLo0)}%.3f " +
+        f"mem=${hwMemScalingCap(nLo0, 4 * nLo0)}%.3f")
+      return
+    }
+
     val onlyCrawl = sys.env.get("SPARK_GRAFT_BENCH_ONLY_CRAWL").contains("1")
     if (onlyCrawl) {
       val coreList = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "8,32")
@@ -214,7 +259,8 @@ object Bench {
       runs.foreach(r => println(
         f"CRAWLRUN cores=${r.cores} pages=${r.pages} fetched=${r.fetched} " +
           f"enqueued=${r.enqueued} secs=${r.secs}%.3f " +
-          f"taskSecs=${r.taskSecs}%.3f gcSecs=${r.gcSecs}%.3f"))
+          f"taskSecs=${r.taskSecs}%.3f gcSecs=${r.gcSecs}%.3f " +
+          f"spilledMB=${r.spilledMB}%.1f"))
       return
     }
 
@@ -269,6 +315,7 @@ object Bench {
     val politeBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_POLITE_BUDGET", "10").toInt
     val politeCycles = sys.env.getOrElse("SPARK_GRAFT_BENCH_POLITE_CYCLES", "25").toInt
     val hwCap = if (skipCrawl) 1.0 else hwScalingCap(nLo, nHi)
+    val hwMemCap = if (skipCrawl) 1.0 else hwMemScalingCap(nLo, nHi)
     var runsLo = List.empty[CrawlRun] // nLo cores, full pages (strong)
     var runsHi = List.empty[CrawlRun] // nHi cores, full pages (strong+weak)
     var runsWk = List.empty[CrawlRun] // nLo cores, pages/4 (weak)
@@ -312,7 +359,9 @@ object Bench {
         s""""scaling_efficiency_strong":${f(es)},""" +
         s""""scaling_efficiency_weak":${f(ew)},""" +
         s""""scaling_efficiency_weak_hw_normalized":${f(math.min(1.0, ew / math.max(hwCap, 1e-9)))},""" +
-        s""""hw_scaling_cap":${f(hwCap)}}$politeJson""").getOrElse("")
+        s""""scaling_efficiency_weak_mem_normalized":${f(math.min(1.0, ew / math.max(hwMemCap, 1e-9)))},""" +
+        s""""hw_scaling_cap":${f(hwCap)},""" +
+        s""""hw_mem_scaling_cap":${f(hwMemCap)}}$politeJson""").getOrElse("")
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$crawlJson}""")
   }
 }
