@@ -340,6 +340,16 @@ object Bench {
     val effStrong = for (a <- cLo; b <- cHi) yield b.fetchedPerSec / (4.0 * a.fetchedPerSec)
     // weak: per-core load equal; perfect scaling => equal wall time
     val effWeak = for (a <- cWk; b <- cHi) yield a.secs / b.secs
+    // PAIRED estimators: min-of-each-leg is one-sided under host noise (a
+    // clean window for one leg and storms for the other skews the ratio in
+    // either direction); legs of the same trial run adjacently and so share
+    // one host window — the best same-trial pair is the noise-robust view
+    val effWeakPaired = runsWk.zip(runsHi)
+      .map { case (w, h) => math.min(1.0, w.secs / h.secs) }
+      .maxOption
+    val effStrongPaired = runsLo.zip(runsHi)
+      .map { case (l, h) => math.min(1.0, h.fetchedPerSec / (4.0 * l.fetchedPerSec)) }
+      .maxOption
 
     def f(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val qs = results.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
@@ -357,7 +367,9 @@ object Bench {
         s""""local$nHi":{"secs":${f(b.secs)},"fetched_per_sec":${f(b.fetchedPerSec)},"enqueue_per_sec":${f(b.enqueuePerSec)},"busy_cores":${f(b.busyCores)},"gc_secs":${f(b.gcSecs)},"trials":${trialsJson(runsHi)}},""" +
         s""""weak_local$nLo":{"pages":${w.pages},"secs":${f(w.secs)},"fetched_per_sec":${f(w.fetchedPerSec)},"trials":${trialsJson(runsWk)}},""" +
         s""""scaling_efficiency_strong":${f(es)},""" +
+        s""""scaling_efficiency_strong_paired":${f(effStrongPaired.getOrElse(0.0))},""" +
         s""""scaling_efficiency_weak":${f(ew)},""" +
+        s""""scaling_efficiency_weak_paired":${f(effWeakPaired.getOrElse(0.0))},""" +
         s""""scaling_efficiency_weak_hw_normalized":${f(math.min(1.0, ew / math.max(hwCap, 1e-9)))},""" +
         s""""scaling_efficiency_weak_mem_normalized":${f(math.min(1.0, ew / math.max(hwMemCap, 1e-9)))},""" +
         s""""hw_scaling_cap":${f(hwCap)},""" +

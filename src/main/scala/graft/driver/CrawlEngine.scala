@@ -48,6 +48,7 @@ final class CrawlEngine(
   // hot enqueue projection — registered idempotently per session
   graft.functions.UrlExpressions.register(spark)
   private val corpusPath = s"$workDir/corpus_resolved"
+  private val corpusRobotsPath = s"$workDir/corpus_robots"
   private val imagesPath = s"$workDir/images_resolved"
   private var seenCountEstimate: Long = 0L
   // Upper-bound estimate of next cycle's claimed-batch size (maintained from
@@ -117,7 +118,12 @@ final class CrawlEngine(
     // makes the per-cycle image join a columnar scan instead
     if (!new java.io.File(imagesPath).exists())
       images.write.mode("overwrite").parquet(imagesPath)
-    if (new java.io.File(corpusPath).exists()) return
+    def ensureRobotsTable(): Unit =
+      if (!new java.io.File(corpusRobotsPath).exists())
+        spark.read.parquet(corpusPath)
+          .filter($"src_url".endsWith("/robots.txt"))
+          .write.mode("overwrite").parquet(corpusRobotsPath)
+    if (new java.io.File(corpusPath).exists()) { ensureRobotsTable(); return }
     val p = pages.select($"url", $"status", $"content_type", $"body",
       $"image_id", $"redirect_to")
     var cur = p.select(
@@ -144,9 +150,16 @@ final class CrawlEngine(
           lit(Reasons.maxRedirects)))
       .drop("next")
       .write.mode("overwrite").parquet(corpusPath)
+    // robots.txt rows land in their own table ONCE at setup: parquet can't
+    // push an EndsWith predicate, so filtering the main corpus would still
+    // column-scan every row's body each robots cycle — a dedicated ~one-
+    // row-per-host table makes the per-cycle robots join O(hosts), not
+    // O(corpus), at any corpus size
+    ensureRobotsTable()
   }
 
   def resolvedCorpus: DataFrame = spark.read.parquet(corpusPath)
+  def resolvedCorpusRobots: DataFrame = spark.read.parquet(corpusRobotsPath)
   def resolvedImages: DataFrame = spark.read.parquet(imagesPath)
 
   /** Seed injection (S1): depth-0 New rows, deduped (Master.scala:104-113).
@@ -326,7 +339,7 @@ final class CrawlEngine(
     // the page fetch: a plain `robotsFetch LEFT JOIN corpus` would stream —
     // or worse, shuffle — the ENTIRE corpus every cycle to serve a
     // left-preserved tiny side, even on cycles with zero pending robots
-    val corpusRobots = resolvedCorpus.filter($"src_url".endsWith("/robots.txt"))
+    val corpusRobots = resolvedCorpusRobots
     val robotsHits = corpusRobots.join(broadcast(robotsFetch), Seq("src_url"), "inner")
     val robotsMisses = robotsFetch.join(
         broadcast(corpusRobots.select($"src_url")
