@@ -308,6 +308,14 @@ object SparkEntry {
         k = 5, planes = 8, dims = 64, tables = 4, probes = 1)
     }),
 
+    "q49_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, cells = 16, nProbe = 6, iters = 2)
+    }),
+
     "q47_multimodal_decode" -> ((s, dir) => {
       val enc = udf((id: Long) => graft.image.ImageCodec.encode(
         s"img-doc-$id", 16 + (id % 16).toInt, 16 + (id % 8).toInt,

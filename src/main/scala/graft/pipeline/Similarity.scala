@@ -12,7 +12,7 @@ import graft.image.ImageCodec
  * folding left-to-right in index order so an independent engine reproduces
  * the doubles bit-for-bit.
  *
- * Two search paths, per the standard ANN playbook:
+ * Three search paths, per the standard ANN playbook:
  *  - [[bruteForceTopK]] — exact: broadcast the (small) query set, score every
  *    corpus vector, window top-k per query. At 100 TB this is one pass over
  *    the corpus with no shuffle on the corpus side (queries broadcast,
@@ -26,6 +26,10 @@ import graft.image.ImageCodec
  *    are corpus vectors sharing the query's bucket, then exact re-score.
  *    Probing radius 0 (same bucket) keeps it a pure equi-join; recall is
  *    tested against brute force in PipelineSpec.
+ *  - [[ivfTopK]] — IVF-Flat: a deterministically-trained coarse quantizer
+ *    (spherical k-means) partitions the corpus into inverted lists; queries
+ *    probe their nProbe nearest cells and re-score exactly. The layout used
+ *    at 100 TB: index partitioned by cell ⇒ probes prune partitions.
  */
 object Similarity {
 
@@ -158,6 +162,101 @@ object Similarity {
       .where(col("neighbor") =!= col("q_id"))
       // a pair can match in several tables/probes; dedupe BEFORE scoring
       .dropDuplicates("q_id", "neighbor")
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor"))))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("neighbor"), round(col("sim"), 6).as("sim"))
+  }
+
+  // ---- IVF (inverted-file) ANN -----------------------------------------
+
+  /** Nearest `n` centroid ids for `v` by cosine (centroid norms
+    * precomputed in `norms`); deterministic tie-break on cell id. */
+  private def nearestCells(v: Seq[Float], cents: Array[Array[Double]],
+      norms: Array[Double], n: Int): Seq[Int] = {
+    val scored = new Array[(Double, Int)](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val row = cents(c)
+      var s = 0.0
+      var d = 0
+      val lim = math.min(v.length, row.length)
+      while (d < lim) { s += row(d) * v(d); d += 1 }
+      scored(c) = (if (norms(c) > 0) s / norms(c) else Double.MinValue, c)
+      c += 1
+    }
+    scored.sortBy { case (s, id) => (-s, id) }.take(n).map(_._2).toSeq
+  }
+
+  private def centroidNorms(cents: Array[Array[Double]]): Array[Double] =
+    cents.map(row => math.sqrt(row.map(x => x * x).sum))
+
+  /**
+   * Train `cells` coarse centroids with `iters` Lloyd iterations
+   * (spherical k-means: assignment by cosine, centroid = mean of members).
+   * Deterministic, no RNG: the initial centroids are the `cells` vectors
+   * with the smallest `xxhash64(id)` — a uniform pseudo-random pick that
+   * every run reproduces. Training reads a deterministic hash-sample of
+   * the corpus (`xxhash64(id) % trainMod == 0`): at 100 TB the quantizer
+   * is trained on a sliver, never the full table. Per-iteration cost is
+   * one assignment pass + a (cell, dim)-grouped mean — `cells*dims` rows
+   * to the driver, never vectors.
+   */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      cells: Int, iters: Int, trainMod: Int = 1): Array[Array[Double]] = {
+    val train = (if (trainMod > 1)
+      corpus.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
+    else corpus).select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v"))
+    var cents: Array[Array[Double]] = train
+      .orderBy(xxhash64(col("_id")), col("_id")).limit(cells)
+      .collect().map(_.getSeq[Double](1).toArray)
+    var it = 0
+    while (it < iters) {
+      val mat = cents
+      val norms = centroidNorms(mat)
+      val cellOf = udf((v: Seq[Double]) =>
+        nearestCells(v.map(_.toFloat), mat, norms, 1).head)
+      val means = train
+        .select(cellOf(col("_v")).as("cell"), posexplode(col("_v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      val next = mat.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next // cells with no members keep their previous centroid
+      it += 1
+    }
+    cents
+  }
+
+  /**
+   * IVF approximate top-k: a trained coarse quantizer partitions the corpus
+   * into `cells` inverted lists; each query probes its `nProbe` nearest
+   * cells, candidates are the corpus vectors in those cells (equi-join on
+   * cell id), then exact cosine re-score + window top-k. The classic
+   * IVF-Flat layout: at scale the indexed corpus is written partitioned by
+   * `cell`, so a probe reads only `nProbe/cells` of the data (partition
+   * pruning), the query side broadcasts, and candidate generation is never
+   * a cross product. Recall rises monotonically with `nProbe`
+   * (nProbe == cells ⇒ exact brute force).
+   */
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, cells: Int = 16, nProbe: Int = 4, iters: Int = 2,
+      trainMod: Int = 1): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, cells, iters, trainMod)
+    val norms = centroidNorms(cents)
+    val cellOf = udf((v: Seq[Float]) => nearestCells(v, cents, norms, 1).head)
+    val probeOf = udf((v: Seq[Float]) => nearestCells(v, cents, norms, nProbe))
+    val c = corpus.select(col(idCol).as("neighbor"),
+      asDouble(col(vecCol)).as("cv"), cellOf(col(vecCol)).as("cell"))
+    val q = broadcast(queries
+      .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("qv"),
+        explode(probeOf(col(qVecCol))).as("cell")))
+    c.join(q, Seq("cell"))
+      .where(col("neighbor") =!= col("q_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor"))))

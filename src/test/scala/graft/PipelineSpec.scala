@@ -195,6 +195,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, f"recall@5 $recall%.3f < 0.9")
   }
 
+  /** Clustered embeddings — the distribution IVF is designed for (real
+    * embedding spaces are clustered; uniform-random is the adversarial
+    * no-structure case where only nProbe→cells recovers recall). 8 planted
+    * centers, small deterministic noise. */
+  private def clusteredVecsDf(n: Int, dims: Int, centers: Int) = {
+    val rows = (0 until n).map { i =>
+      val c = i % centers
+      val v = Array.tabulate(dims) { d =>
+        val center = (math.floorMod(ImageCodec.mix64(c.toLong * 977 + d), 2001) - 1000) / 1000.0f
+        val noise = (math.floorMod(ImageCodec.mix64(i.toLong * 131 + d), 201) - 100) / 1000.0f
+        center + noise
+      }
+      (i.toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("ivfTopK: recall@5 >= 0.9 vs brute force on clustered data; nProbe=cells is exact") {
+    def topSets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    // clustered corpus: probing 2 of 8 cells recovers the neighborhood
+    val cl = clusteredVecsDf(320, 32, 8)
+    val clq = cl.filter($"vec_id" < 40)
+    val bruteCl = topSets(Similarity.bruteForceTopK(cl, "vec_id", "embedding",
+      clq, "vec_id", "embedding", k = 5))
+    val ivfCl = topSets(Similarity.ivfTopK(cl, "vec_id", "embedding",
+      clq, "vec_id", "embedding", k = 5, cells = 8, nProbe = 2, iters = 3))
+    val recall = bruteCl.map { case (q, bs) =>
+      ivfCl.getOrElse(q, Set.empty[Long]).intersect(bs).size.toDouble / bs.size
+    }.sum / bruteCl.size
+    assert(recall >= 0.9, f"IVF recall@5 $recall%.3f < 0.9 (clustered, nProbe=2/8)")
+    // uniform (structureless) corpus: probing every cell degenerates to
+    // exact search — output must equal brute force
+    val vecs = vecsDf(300, 32)
+    val queries = vecs.filter($"vec_id" < 40)
+    val brute = topSets(Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5))
+    val all = topSets(Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, cells = 8, nProbe = 8, iters = 1))
+    assert(all === brute, "nProbe == cells must reproduce brute force")
+  }
+
   // ---- multimodal -------------------------------------------------------
 
   private val encPng16x12 =
