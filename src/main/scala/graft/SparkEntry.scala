@@ -354,6 +354,16 @@ object SparkEntry {
       | * sqrt(list_reduce(list_concat([0.0::DOUBLE], list_transform(range(1, len(b) + 1),
       |  i -> b[i]::DOUBLE * b[i]::DOUBLE)), (x, y) -> x + y)))""".stripMargin
 
+  /** 64-bit wrapping multiply `x * c` for DuckDB (used by the q46 splitmix64
+    * mirror): 32-bit split products in HUGEINT, reduced mod 2^64, back to
+    * UBIGINT. DuckDB integer ops error on overflow rather than wrap, so the
+    * wrap has to be spelled out. */
+  private def wrapMul(c: String) =
+    s"""(( (x::HUGEINT % 4294967296) * ($c::HUGEINT % 4294967296)
+       |   + ((( (x::HUGEINT % 4294967296) * ($c::HUGEINT // 4294967296)
+       |       + (x::HUGEINT // 4294967296) * ($c::HUGEINT % 4294967296)) % 4294967296) * 4294967296)
+       |  ) % 18446744073709551616::HUGEINT)::UBIGINT""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -578,5 +588,59 @@ object SparkEntry {
          |      $CosMirror AS s
          |    FROM (SELECT vec_id, embedding AS a FROM embeddings WHERE vec_id < 20) q
          |    JOIN (SELECT vec_id, embedding AS b FROM embeddings) c ON c.vec_id <> q.vec_id))
-         |WHERE rank <= 5""".stripMargin)
+         |WHERE rank <= 5""".stripMargin,
+
+    // Full mirror of lshTopK(planes=8, dims=64, tables=4, probes=1):
+    // splitmix64-derived hyperplanes (Similarity.planeComponent) rebuilt
+    // bit-exactly via wrapping 64-bit arithmetic, ordered-fold dot products
+    // for the sign bits, radius-1 multi-probe expansion, candidate dedupe,
+    // exact cosine re-score. Every double fold runs left-to-right in index
+    // order, matching the Scala loops bit-for-bit.
+    "q46_ann_lsh" -> {
+      val mulB = wrapMul("13787848793156543929") // 0xbf58476d1ce4e5b9
+      val mulC = wrapMul("10723151780598845931") // 0x94d049bb133111eb
+      s"""WITH grid AS (SELECT p.range::BIGINT AS p, d.range::BIGINT AS d
+         |    FROM range(32) p, range(64) d),
+         |s0 AS (SELECT p, d, xor(xor(5871781006564002453::UBIGINT,
+         |    (p::UBIGINT << 32)), d::UBIGINT) AS z0 FROM grid),
+         |sA AS (SELECT p, d, ((z0::HUGEINT + 11400714819323198485::HUGEINT)
+         |    % 18446744073709551616::HUGEINT)::UBIGINT AS z FROM s0),
+         |sB0 AS (SELECT p, d, xor(z, z >> 30) AS x FROM sA),
+         |sB AS (SELECT p, d, $mulB AS z FROM sB0),
+         |sC0 AS (SELECT p, d, xor(z, z >> 27) AS x FROM sB),
+         |sC AS (SELECT p, d, $mulC AS z FROM sC0),
+         |sD AS (SELECT p, d, xor(z, z >> 31) AS m FROM sC),
+         |comp AS (SELECT p, d,
+         |  (((CASE WHEN m >= 9223372036854775808::UBIGINT
+         |      THEN m::HUGEINT - 18446744073709551616::HUGEINT
+         |      ELSE m::HUGEINT END % 2000003) + 2000003) % 2000003)::DOUBLE
+         |    / 1000001.5 - 1.0 AS c FROM sD),
+         |carr AS (SELECT p, list(c ORDER BY d) AS cs FROM comp GROUP BY p),
+         |dots AS (SELECT v.vec_id, pl.p,
+         |  list_reduce(list_concat([0.0::DOUBLE],
+         |    list_transform(range(1, least(len(v.embedding), 64) + 1),
+         |      i -> pl.cs[i] * v.embedding[i]::DOUBLE)), (a, b) -> a + b) AS s
+         |  FROM embeddings v, carr pl),
+         |buckets AS (SELECT vec_id, p // 8 AS tbl,
+         |  sum(CASE WHEN s > 0 THEN (1::BIGINT << (p % 8)) ELSE 0 END)::BIGINT AS bucket
+         |  FROM dots GROUP BY vec_id, p // 8),
+         |qb AS (SELECT vec_id AS q_id, tbl, bucket FROM buckets WHERE vec_id < 20),
+         |qprobes AS (
+         |  SELECT q_id, tbl, bucket FROM qb
+         |  UNION ALL
+         |  SELECT q_id, tbl, xor(bucket::UBIGINT, (1::UBIGINT << i.range))::BIGINT
+         |    FROM qb, range(8) i),
+         |pairs AS (SELECT DISTINCT q_id, c.vec_id AS neighbor
+         |  FROM qprobes q JOIN buckets c USING (tbl, bucket)
+         |  WHERE c.vec_id <> q.q_id),
+         |scored AS (SELECT p.q_id, p.neighbor, $CosMirror AS s
+         |  FROM pairs p
+         |  JOIN (SELECT vec_id, embedding AS a FROM embeddings) qe ON qe.vec_id = p.q_id
+         |  JOIN (SELECT vec_id, embedding AS b FROM embeddings) ce ON ce.vec_id = p.neighbor)
+         |SELECT q_id, rank, neighbor, round(s, 6) AS sim FROM (
+         |  SELECT q_id, neighbor, s,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin
+    })
 }
