@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.image.ImageCodec
@@ -29,7 +29,9 @@ import graft.image.ImageCodec
  *  - [[ivfTopK]] — IVF-Flat: a deterministically-trained coarse quantizer
  *    (spherical k-means) partitions the corpus into inverted lists; queries
  *    probe their nProbe nearest cells and re-score exactly. The layout used
- *    at 100 TB: index partitioned by cell ⇒ probes prune partitions.
+ *    at 100 TB: index partitioned by cell ⇒ probes prune partitions —
+ *    [[ivfWriteIndex]]/[[ivfTopKIndexed]] materialize exactly that layout
+ *    and push `cell IN (probed)` into the scan as a partition filter.
  */
 object Similarity {
 
@@ -256,6 +258,59 @@ object Similarity {
       .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("qv"),
         explode(probeOf(col(qVecCol))).as("cell")))
     c.join(q, Seq("cell"))
+      .where(col("neighbor") =!= col("q_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor"))))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("neighbor"), round(col("sim"), 6).as("sim"))
+  }
+
+  /**
+   * Build and persist the IVF index: the corpus plus its coarse-cell
+   * assignment, written partitioned by `cell`. The 100 TB layout: each
+   * inverted list is a partition directory, so an nProbe query reads only
+   * the probed cells' files (partition pruning at the source) and the
+   * index build is the only full pass over the corpus. Returns the trained
+   * centroids — the query-side quantizer; persist them next to the index
+   * (they are `cells × dims` doubles, trivially small).
+   */
+  def ivfWriteIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, cells: Int = 16, iters: Int = 2,
+      trainMod: Int = 1): Array[Array[Double]] = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, cells, iters, trainMod)
+    val norms = centroidNorms(cents)
+    val cellOf = udf((v: Seq[Float]) => nearestCells(v, cents, norms, 1).head)
+    corpus.select(col(idCol).as("neighbor"),
+        asDouble(col(vecCol)).as("cv"), cellOf(col(vecCol)).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    cents
+  }
+
+  /**
+   * Query a persisted IVF index: compute each query's nProbe cells with
+   * the build-time centroids, push `cell IN (probed)` into the scan (a
+   * partition filter — unprobed inverted lists are never read), broadcast
+   * the exploded query probes, exact cosine re-score. Same output as
+   * [[ivfTopK]] run with the same quantizer parameters.
+   */
+  def ivfTopKIndexed(spark: SparkSession, path: String,
+      cents: Array[Array[Double]],
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val norms = centroidNorms(cents)
+    val probeOf = udf((v: Seq[Float]) => nearestCells(v, cents, norms, nProbe))
+    val q = queries
+      .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("qv"),
+        explode(probeOf(col(qVecCol))).as("cell"))
+    // queries are small by contract (they broadcast); the distinct probed
+    // cells are at most queries×nProbe ints — a driver-side literal list
+    // is what turns the probe into a static partition filter.
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(path)
+      .where(col("cell").isin(probed.map(x => x: Any): _*))
+    c.join(broadcast(q), Seq("cell"))
       .where(col("neighbor") =!= col("q_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(

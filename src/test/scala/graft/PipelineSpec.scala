@@ -237,6 +237,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(all === brute, "nProbe == cells must reproduce brute force")
   }
 
+  test("ivfWriteIndex/ivfTopKIndexed: partition-pruned scan, identical results") {
+    val cl = clusteredVecsDf(320, 32, 8)
+    val clq = cl.filter($"vec_id" < 40)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val cents = Similarity.ivfWriteIndex(cl, "vec_id", "embedding", dir,
+      cells = 8, iters = 3)
+    val idx = Similarity.ivfTopKIndexed(spark, dir, cents,
+      clq, "vec_id", "embedding", k = 5, nProbe = 2)
+    val mem = Similarity.ivfTopK(cl, "vec_id", "embedding",
+      clq, "vec_id", "embedding", k = 5, cells = 8, nProbe = 2, iters = 3)
+    assert(idx.collect().toSet === mem.collect().toSet,
+      "indexed query must reproduce the in-memory IVF result")
+    // the probe must reach the source as a partition filter (pruned scan)
+    val scan = idx.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      s"expected a cell partition filter in the scan:\n$scan")
+    assert(!scan.replaceAll("(?s)PartitionFilters: \\[[^\\]]*", "")
+      .contains("cell IN"), "probe filter should sit in PartitionFilters, not post-scan")
+  }
+
   // ---- multimodal -------------------------------------------------------
 
   private val encPng16x12 =
