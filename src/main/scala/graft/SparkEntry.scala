@@ -316,6 +316,17 @@ object SparkEntry {
         k = 5, cells = 16, nProbe = 6, iters = 2)
     }),
 
+    // Static replay of the stateful streaming dedup (flatMapGroupsWithState
+    // first-seen filter): one "batch" over the augmented corpus must keep
+    // exactly the min-id row per normalized-content group.
+    "q50_stream_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val aug = docs.unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), upper(col("text")).as("text")))
+      graft.streaming.StreamDedup.firstSeen(aug, "doc_id", "text").toDF()
+    }),
+
     "q47_multimodal_decode" -> ((s, dir) => {
       val enc = udf((id: Long) => graft.image.ImageCodec.encode(
         s"img-doc-$id", 16 + (id % 16).toInt, 16 + (id % 8).toInt,
@@ -514,6 +525,17 @@ object SparkEntry {
         |  SELECT doc_id + 100000, upper(text) FROM documents WHERE doc_id % 5 = 0)
         |SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS dups
         |FROM aug GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin,
+
+    "q50_stream_dedup" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, upper(text) FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id, text FROM (
+        |  SELECT doc_id, text, row_number() OVER (
+        |    PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |    ORDER BY doc_id) AS rn FROM aug)
+        |WHERE rn = 1""".stripMargin,
 
     "q41_dedup_minhash" -> {
       val tk = toksOf("text")

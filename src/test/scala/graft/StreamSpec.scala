@@ -5,7 +5,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.corpus.Fixtures
 import graft.driver.CrawlEngine
 import graft.model.CrawlConfig
-import graft.streaming.CrawlStream
+import graft.pipeline.Dedup
+import graft.streaming.{CrawlStream, StreamDedup}
 
 /**
  * Structured Streaming surface (SURVEY §2.5 streaming): foreachBatch-driven
@@ -49,5 +50,33 @@ class StreamSpec extends AnyFunSuite {
     assert(visited.contains("http://hf.test/fine"))
     // 403/500 pages end WithError, not Completed (P6)
     assert(!visited.contains("http://hf.test/forbidden"))
+  }
+
+  test("StreamDedup.firstSeen: cross-batch state suppresses re-arrivals; min-id kept within a batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val out = StreamDedup.firstSeen(ms.toDS().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: ids 1 and 2 normalize to the same text — min id wins
+      ms.addData((2L, "Alpha  beta"), (1L, "alpha beta"), (3L, "gamma"))
+      q.processAllAvailable()
+      // batch 2: id 4 re-arrives as a dup of the batch-1 key — state filters it
+      ms.addData((4L, "ALPHA beta"), (5L, "delta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sdedup").as[(Long, String)].collect().map(_._1).toSet
+    assert(got === Set(1L, 3L, 5L))
+  }
+
+  test("StreamDedup.firstSeen on a static frame reproduces exactDedup keepers") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batchKeepers = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("keep_id").as[Long].collect().toSet
+    val streamKeepers = StreamDedup.firstSeen(docs, "doc_id", "text")
+      .map(_._1).collect().toSet
+    assert(streamKeepers === batchKeepers)
   }
 }
