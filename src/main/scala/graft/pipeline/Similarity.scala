@@ -153,11 +153,18 @@ object Similarity {
       tables: Int = 1, probes: Int = 0): DataFrame = {
     val bucketsOf = lshBucketsUdf(planes, dims, tables)
     val probesOf = lshProbesUdf(planes, dims, tables, probes)
-    val c = corpus.select(col(idCol).as("neighbor"), asDouble(col(vecCol)).as("cv"),
-        posexplode(bucketsOf(col(vecCol))).as(Seq("tbl", "bucket")))
+    // two-step selects: expressions sharing a select with explode are
+    // hoisted above the Generate and re-run per exploded row — project the
+    // vector cast (and keep the bucket UDF's input) below the explode
+    val c = corpus
+      .select(col(idCol).as("neighbor"), asDouble(col(vecCol)).as("cv"),
+        bucketsOf(col(vecCol)).as("_bk"))
+      .select(col("neighbor"), col("cv"),
+        posexplode(col("_bk")).as(Seq("tbl", "bucket")))
     val q = broadcast(queries
       .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("qv"),
-        explode(probesOf(col(qVecCol))).as("tb"))
+        probesOf(col(qVecCol)).as("_pr"))
+      .select(col("q_id"), col("qv"), explode(col("_pr")).as("tb"))
       .select(col("q_id"), col("qv"),
         col("tb._1").as("tbl"), col("tb._2").as("bucket")))
     c.join(q, Seq("tbl", "bucket"))
@@ -220,8 +227,13 @@ object Similarity {
       val norms = centroidNorms(mat)
       val cellOf = udf((v: Seq[Double]) =>
         nearestCells(v.map(_.toFloat), mat, norms, 1).head)
+      // two-step select: a non-generator expression sharing a select with
+      // posexplode is hoisted ABOVE the Generate and re-evaluated once per
+      // exploded row — the assignment UDF must run once per vector, so it
+      // gets its own projection below the explode (64x cheaper here)
       val means = train
-        .select(cellOf(col("_v")).as("cell"), posexplode(col("_v")).as(Seq("pos", "x")))
+        .select(cellOf(col("_v")).as("cell"), col("_v"))
+        .select(col("cell"), posexplode(col("_v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
         .collect()
       val next = mat.map(_.clone())
@@ -256,7 +268,8 @@ object Similarity {
       asDouble(col(vecCol)).as("cv"), cellOf(col(vecCol)).as("cell"))
     val q = broadcast(queries
       .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("qv"),
-        explode(probeOf(col(qVecCol))).as("cell")))
+        probeOf(col(qVecCol)).as("_pr"))
+      .select(col("q_id"), col("qv"), explode(col("_pr")).as("cell")))
     c.join(q, Seq("cell"))
       .where(col("neighbor") =!= col("q_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
@@ -303,7 +316,8 @@ object Similarity {
     val probeOf = udf((v: Seq[Float]) => nearestCells(v, cents, norms, nProbe))
     val q = queries
       .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("qv"),
-        explode(probeOf(col(qVecCol))).as("cell"))
+        probeOf(col(qVecCol)).as("_pr"))
+      .select(col("q_id"), col("qv"), explode(col("_pr")).as("cell"))
     // queries are small by contract (they broadcast); the distinct probed
     // cells are at most queries×nProbe ints — a driver-side literal list
     // is what turns the probe into a static partition filter.
