@@ -251,32 +251,53 @@ object Dedup {
   val hammingUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
 
   /**
-   * SimHash near-duplicate pairs: candidates share at least one of the four
-   * 16-bit signature chunks (pigeonhole: any pair at hamming ≤ 3 must agree
-   * on one chunk), verified by exact hamming distance ≤ maxDist.
+   * Hamming near-duplicate pairs over any 64-bit signature column — the
+   * banding core shared by SimHash text dedup and perceptual-hash (phash)
+   * image dedup: candidates share at least one of the four 16-bit chunks
+   * (pigeonhole: any pair at hamming ≤ 3 must agree on one chunk), then
+   * exact codegen'd `bit_count(x ^ y)` verification. Hot chunks are capped
+   * at `maxBucket` rows (skew guard); bucket sizes come from a map-side-
+   * combined groupBy count + semi-join, never a window sort over the
+   * exploded band rows.
+   */
+  def hammingPairs(
+      hashed: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxDist: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxDist <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
+    val docs = hashed.select(col(idCol).as("id"), col(hashCol).as("sim"))
+    val chunks = array((0 until 4).map(c =>
+      shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xffffL))): _*)
+    val buckets = docs.select(col("id"), col("sim"),
+      posexplode(chunks).as(Seq("chunk", "key")))
+    val surviving = buckets.groupBy(col("chunk"), col("key"))
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= maxBucket).select("chunk", "key")
+    val sized = buckets.join(surviving, Seq("chunk", "key"), "left_semi")
+    sized.as("x").join(sized.as("y"), Seq("chunk", "key"))
+      .where(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        call_function("bit_count",
+          col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
+  /**
+   * SimHash near-duplicate pairs: 64-bit SimHash over whitespace tokens,
+   * then [[hammingPairs]] banding + verification.
    */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxDist: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
-    require(maxDist <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
-    val docs = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sim"))
-    val chunks = array((0 until 4).map(c =>
-      shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xffffL))): _*)
-    val buckets = docs.select(col("id"), col("sim"),
-      posexplode(chunks).as(Seq("chunk", "key")))
-    val sized = buckets.withColumn("bsz",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("chunk", "key")))
-      .where(col("bsz") <= maxBucket).drop("bsz")
-    sized.as("x").join(sized.as("y"), Seq("chunk", "key"))
-      .where(col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        hammingUdf(col("x.sim"), col("y.sim")).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxDist)
-  }
+      maxBucket: Int = 1000): DataFrame =
+    hammingPairs(
+      df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sim")),
+      "id", "sim", maxDist, maxBucket)
 
   /**
    * n-gram Jaccard scorer for explicit pairs: callers join texts for (a, b)

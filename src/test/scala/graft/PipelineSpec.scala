@@ -237,6 +237,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(all === brute, "nProbe == cells must reproduce brute force")
   }
 
+  test("hammingPairs on image phash: duplicate payloads paired, distinct not") {
+    // image near-dup = the simhash banding core over the perceptual hash:
+    // ids 0..9 distinct payloads; 100..104 byte-identical re-encodes of 0..4
+    val enc = udf((id: Long) => ImageCodec.encode(
+      s"img-doc-${id % 100}",
+      16 + ((id % 100) % 7).toInt, 12 + ((id % 100) % 5).toInt, "png"))
+    val imgs = spark.range(10).toDF("doc_id")
+      .union(spark.range(100, 105).toDF("doc_id"))
+      .withColumn("bytes", enc($"doc_id"))
+    val hashed = Multimodal.withImageFeatures(imgs, "bytes")
+      .select($"doc_id", $"img_phash")
+    val pairs = Dedup.hammingPairs(hashed, "doc_id", "img_phash", maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (0L until 5L).map(i => (i, i + 100L)).toSet,
+      s"expected exactly the 5 planted duplicate pairs, got $pairs")
+  }
+
   test("ivfWriteIndex/ivfTopKIndexed: partition-pruned scan, identical results") {
     val cl = clusteredVecsDf(320, 32, 8)
     val clq = cl.filter($"vec_id" < 40)
