@@ -101,14 +101,18 @@ object Bench {
       engine.initSeeds(seedsDf) // distributed: seeds never touch the driver
       engine.drive(maxCycles)
       val secs = (System.nanoTime() - t0) / 1e9
+      // snapshot the task-clock counters NOW: the status count below is a
+      // post-run job whose executor time must not leak into busy_cores/gc
+      val taskSecs = clock.taskNanos.get / 1e9
+      val gcSecs = clock.gcMillis.get / 1e3
+      val spilledMB = clock.spilledBytes.get / 1e6
       val seeded = engine.snap.readSnapshot(0).metrics("seeded").toLong
       val statuses = engine.frontierNow.groupBy("status").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val fetched = statuses.getOrElse("Completed", 0L) +
         statuses.getOrElse("WithError", 0L)
       val run = CrawlRun(cores, seeded, fetched, seeded, secs,
-        clock.taskNanos.get / 1e9, clock.gcMillis.get / 1e3,
-        clock.spilledBytes.get / 1e6)
+        taskSecs, gcSecs, spilledMB)
       // tmpfs hygiene: drop this trial's corpus + snapshots so successive
       // trials don't accumulate gigabytes of shared-memory state
       deleteRec(new java.io.File(dir))
@@ -164,10 +168,12 @@ object Bench {
     val out = new String(proc.getInputStream.readAllBytes())
     proc.waitFor()
     val Re = ("CRAWLRUN cores=(\\d+) pages=(\\d+) fetched=(\\d+) " +
-      "enqueued=(\\d+) secs=([\\d.]+) taskSecs=([\\d.]+) gcSecs=([\\d.]+)").r
+      "enqueued=(\\d+) secs=([\\d.]+) taskSecs=([\\d.]+) gcSecs=([\\d.]+)" +
+      "(?: spilledMB=([\\d.]+))?").r
     Re.findFirstMatchIn(out).map(m => CrawlRun(m.group(1).toInt,
       m.group(2).toLong, m.group(3).toLong, m.group(4).toLong, m.group(5).toDouble,
-      m.group(6).toDouble, m.group(7).toDouble))
+      m.group(6).toDouble, m.group(7).toDouble,
+      Option(m.group(8)).map(_.toDouble).getOrElse(0.0)))
   }
 
   /**
@@ -196,20 +202,26 @@ object Bench {
    */
   def hwMemScalingCap(n1: Int, n2: Int): Double = {
     val words = 8 * 1024 * 1024 // 64 MiB per thread
-    val arrays = new java.util.concurrent.ConcurrentHashMap[Long, Array[Long]]()
+    // arrays are pooled and reused across samples (threads are fresh per
+    // sample, so keying by thread id would retain one 64 MiB array per
+    // spawned thread — gigabytes over the warmup+trial schedule); live
+    // arrays never exceed the widest concurrent width, and the warmup
+    // samples pre-populate the pool so trial timing excludes allocation
+    val pool = new java.util.concurrent.ConcurrentLinkedQueue[Array[Long]]()
     // 0.5 x 600M word-reads = ~2.4 GiB streamed per thread per sample —
     // long enough to saturate and measure the memory subsystem at width
     hwCap(n1, n2, itersScale = 0.5) { iters =>
-      val a = arrays.computeIfAbsent(Thread.currentThread().getId,
-        _ => Array.tabulate(words)(_.toLong))
-      var sum = 0L; var pass = 0L
-      val passes = math.max(1L, iters / words)
-      while (pass < passes) {
-        var i = 0
-        while (i < words) { sum += a(i); i += 1 }
-        pass += 1
-      }
-      if (sum == 42L) println(sum) // defeat DCE
+      val a = Option(pool.poll()).getOrElse(Array.tabulate(words)(_.toLong))
+      try {
+        var sum = 0L; var pass = 0L
+        val passes = math.max(1L, iters / words)
+        while (pass < passes) {
+          var i = 0
+          while (i < words) { sum += a(i); i += 1 }
+          pass += 1
+        }
+        if (sum == 42L) println(sum) // defeat DCE
+      } finally pool.offer(a): Unit
     }
   }
 
@@ -321,10 +333,18 @@ object Bench {
     var runsWk = List.empty[CrawlRun] // nLo cores, pages/4 (weak)
     var runsPlLo = List.empty[CrawlRun] // politeness envelope, nLo cores
     var runsPlHi = List.empty[CrawlRun] // politeness envelope, nHi cores
+    // same-trial (adjacent) leg pairs for the paired estimators: kept as
+    // explicit pairs so a failed/unparseable trial in one leg cannot shift
+    // the alignment and silently pair runs from different host windows
+    var pairsWkHi = List.empty[(CrawlRun, CrawlRun)]
+    var pairsLoHi = List.empty[(CrawlRun, CrawlRun)]
     if (!skipCrawl) (1 to trials).foreach { t =>
-      runsLo = runsLo ++ crawlBenchIsolated(nLo, benchHosts, benchPages)
-      runsHi = runsHi ++ crawlBenchIsolated(nHi, benchHosts, benchPages)
-      runsWk = runsWk ++ crawlBenchIsolated(nLo, benchHosts / 4, benchPages / 4)
+      val lo = crawlBenchIsolated(nLo, benchHosts, benchPages)
+      val hi = crawlBenchIsolated(nHi, benchHosts, benchPages)
+      val wk = crawlBenchIsolated(nLo, benchHosts / 4, benchPages / 4)
+      runsLo = runsLo ++ lo; runsHi = runsHi ++ hi; runsWk = runsWk ++ wk
+      for (h <- hi; w <- wk) pairsWkHi = pairsWkHi :+ ((w, h))
+      for (h <- hi; l <- lo) pairsLoHi = pairsLoHi :+ ((l, h))
       if (t <= politeTrials) {
         runsPlLo = runsPlLo ++ crawlBenchIsolated(nLo, politeHosts, politePages,
           politeBudget, politeCycles)
@@ -344,10 +364,10 @@ object Bench {
     // clean window for one leg and storms for the other skews the ratio in
     // either direction); legs of the same trial run adjacently and so share
     // one host window — the best same-trial pair is the noise-robust view
-    val effWeakPaired = runsWk.zip(runsHi)
+    val effWeakPaired = pairsWkHi
       .map { case (w, h) => math.min(1.0, w.secs / h.secs) }
       .maxOption
-    val effStrongPaired = runsLo.zip(runsHi)
+    val effStrongPaired = pairsLoHi
       .map { case (l, h) => math.min(1.0, h.fetchedPerSec / (4.0 * l.fetchedPerSec)) }
       .maxOption
 

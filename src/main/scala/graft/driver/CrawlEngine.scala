@@ -372,12 +372,14 @@ final class CrawlEngine(
     // and fetch misses (connection errors) come from a second, column-pruned
     // url-only pass. Batch size is bounded by hostBudget/globalBatchCap, so
     // the broadcast stays executor-memory-sized at any frontier scale.
-    // NOTE: headers deliberately NOT selected — nothing downstream of the
-    // fetch consumes them (robots synthesis reads them pre-claim, the
-    // frontier keeps its own copy), and a map column would dominate the
-    // serialized size of this broadcast batch
+    // headers ride along: the pluggable-stage contract (operators/Stages
+    // .scala) exposes the wide fetch row INCLUDING per-request headers —
+    // the reference's stages receive the full Response with its headers
+    // (pipeline/Stage.scala, Protocol.scala:33-36). The map column costs
+    // broadcast bytes, but the batch is politeness/cap-bounded and default
+    // headers are a handful of entries.
     val claimed = allowed.select($"url", $"host", $"bucket", $"depth",
-      $"prio", $"retries").persist(StorageLevel.MEMORY_AND_DISK)
+      $"prio", $"retries", $"headers").persist(StorageLevel.MEMORY_AND_DISK)
     val corpus = resolvedCorpus.withColumnRenamed("src_url", "url")
     // join strategy by estimated batch size: bounded batches broadcast into
     // the corpus scan (bodies never shuffle); a mega-wave too big for a

@@ -14,7 +14,14 @@ import graft.functions.CrawlFunctions.ajaxRewriteUdf
  *
  * Contract: a stage is a pure `DataFrame => DataFrame` over the wide
  * fetch-row schema (url, host, depth, retries, headers, f_status, f_ct,
- * f_body, outcome, reason, …). The reference's bidirectional error channel
+ * f_body, outcome, reason, …). Stages must be ROW-PRESERVING on the
+ * request/response leg: reject rows by tagging `outcome`/`reason`, never
+ * by filtering them out — every claimed row must reach the outcomes
+ * ledger or its frontier status is never updated (a stale InProgress
+ * retry later) and the per-cycle accounting (deferred-politeness is
+ * derived as drainable − drained − robots-deferred) is corrupted.
+ * Result-leg stages prune the `links` array instead of dropping rows for
+ * the same reason. The reference's bidirectional error channel
  * ("send to left" ⇒ exits the pipeline as Error) becomes the `outcome` /
  * `reason` column pair: `outcome IS NULL` means "still passing rightward";
  * a stage tags rows ERROR/RETRY (and must only touch rows still passing,

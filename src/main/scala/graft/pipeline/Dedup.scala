@@ -217,13 +217,19 @@ object Dedup {
   }
 
   /** Engine-portable per-token hash: polynomial rolling hash mod 1e9+7 over
-    * UTF-16 code units — deliberately replayable in plain SQL (the q42
+    * Unicode CODE POINTS — deliberately replayable in plain SQL (the q42
     * DuckDB oracle mirrors it bit-exactly via list_reduce + ascii, the same
-    * construction as the q33 fingerprint oracle). */
+    * construction as the q33 fingerprint oracle). Code points, not UTF-16
+    * units: DuckDB's string_split('')/ascii see one value per code point,
+    * so surrogate-pair iteration here would diverge on non-BMP text. */
   private[pipeline] def polyHash(t: String, seed: Long, mult: Long): Long = {
     var a = seed
     var i = 0
-    while (i < t.length) { a = (a * mult + t.charAt(i)) % 1000000007L; i += 1 }
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      a = (a * mult + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
     a
   }
 

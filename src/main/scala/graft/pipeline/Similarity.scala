@@ -211,7 +211,9 @@ object Similarity {
    * the corpus (`xxhash64(id) % trainMod == 0`): at 100 TB the quantizer
    * is trained on a sliver, never the full table. Per-iteration cost is
    * one assignment pass + a (cell, dim)-grouped mean — `cells*dims` rows
-   * to the driver, never vectors.
+   * to the driver, never vectors. Means use order-independent scaled-long
+   * sums, so the trained centroids are bit-identical across runs (a float
+   * avg would vary with shuffle merge order).
    */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       cells: Int, iters: Int, trainMod: Int = 1): Array[Array[Double]] = {
@@ -230,14 +232,23 @@ object Similarity {
       // two-step select: a non-generator expression sharing a select with
       // posexplode is hoisted ABOVE the Generate and re-evaluated once per
       // exploded row — the assignment UDF must run once per vector, so it
-      // gets its own projection below the explode (64x cheaper here)
+      // gets its own projection below the explode (64x cheaper here).
+      // The mean is computed over 2^32-scaled LONG sums, not avg(double):
+      // integer addition is order-independent, so the centroids are
+      // bit-identical regardless of shuffle-partial merge order (a float
+      // avg is not — "deterministic" above would silently be false across
+      // runs). Quantization error 2^-32 is far below assignment
+      // sensitivity; |x|<=2 and <=2^30 training rows stay within Long.
       val means = train
         .select(cellOf(col("_v")).as("cell"), col("_v"))
         .select(col("cell"), posexplode(col("_v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"), col("pos")).agg(
+          sum((col("x") * lit(4294967296L)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val next = mat.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) =
+        r.getLong(2).toDouble / r.getLong(3) / 4294967296.0)
       cents = next // cells with no members keep their previous centroid
       it += 1
     }
