@@ -5,8 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
-import org.apache.spark.util.sketch.BloomFilter
 import graft.model._
+import graft.functions.SeenSketch
 import graft.functions.CrawlFunctions._
 import graft.plans.{SnapTable, Snapshot, SnapshotStore}
 import graft.operators.{Politeness, Stages}
@@ -69,10 +69,13 @@ final class CrawlEngine(
   // anti-join, false negatives are impossible because every enqueue path
   // (runCycle commit AND mid-crawl addSeeds) feeds RECENT before the next
   // drain — so dedup stays exact.
-  private var mainBloom: Option[Broadcast[BloomFilter]] = None
+  // Sketch kind per config.seenSketch: "bloom" (default) or "cuckoo"
+  // (deletable — see functions/SeenSketch.scala); the two-level design is
+  // sketch-agnostic and exactness-preserving for both.
+  private var mainBloom: Option[Broadcast[SeenSketch]] = None
   private var mainItems: Long = 0L
-  private var recentMaster: Option[BloomFilter] = None
-  private var recentBloom: Option[Broadcast[BloomFilter]] = None
+  private var recentMaster: Option[SeenSketch] = None
+  private var recentBloom: Option[Broadcast[SeenSketch]] = None
   private var recentItems: Long = 1L << 17
   private var recentCount: Long = 0L
   private val RedirectCodes = Seq(301, 302, 303, 307, 308)
@@ -87,10 +90,10 @@ final class CrawlEngine(
     if (recentFull) recentItems *= 2
     mainItems = math.max(math.max(seenCountEstimate * 4, mainItems), 1L << 20)
     val fresh = phaseTimed("bloom-build")(
-      frontier.stat.bloomFilter("url", mainItems, 0.01))
+      SeenSketch.build(frontier, "url", config.seenSketch, mainItems, 0.01))
     mainBloom.foreach(_.unpersist(false))
     mainBloom = Some(spark.sparkContext.broadcast(fresh))
-    recentMaster = Some(BloomFilter.create(recentItems, 0.01))
+    recentMaster = Some(SeenSketch.create(config.seenSketch, recentItems, 0.01))
     recentCount = 0L
     rebroadcastRecent()
   }
@@ -98,9 +101,7 @@ final class CrawlEngine(
   /** Broadcast a frozen copy of RECENT (the driver-side master keeps
     * mutating; broadcasts must be immutable snapshots). */
   private def rebroadcastRecent(): Unit = {
-    val bos = new java.io.ByteArrayOutputStream()
-    recentMaster.get.writeTo(bos)
-    val frozen = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bos.toByteArray))
+    val frozen = recentMaster.get.frozenCopy()
     recentBloom.foreach(_.unpersist(false))
     recentBloom = Some(spark.sparkContext.broadcast(frozen))
   }
@@ -245,7 +246,7 @@ final class CrawlEngine(
       // path and re-enqueue a duplicate. Feeding RECENT (superset is fine —
       // dedup-dropped urls only add harmless maybes) keeps O5 exact.
       recentMaster.foreach { r =>
-        seeds.iterator.flatMap(graft.urls.CUrl.canonicalize).foreach(r.putString)
+        seeds.iterator.flatMap(graft.urls.CUrl.canonicalize).foreach(r.put)
         recentCount += n
         rebroadcastRecent()
       }
@@ -605,8 +606,8 @@ final class CrawlEngine(
     // its amortized doubling rebuild.
     if (config.useBloom && enqueuedCount > 0 && recentMaster.nonEmpty)
       phaseTimed("bloom-merge") {
-        recentMaster.get.mergeInPlace(
-          newRows.stat.bloomFilter("url", recentItems, 0.01))
+        recentMaster.get.mergeIn(
+          SeenSketch.build(newRows, "url", config.seenSketch, recentItems, 0.01))
         recentCount += enqueuedCount
         rebroadcastRecent()
       }

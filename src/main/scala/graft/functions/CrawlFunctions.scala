@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.BloomFilter
 import graft.urls.CUrl
 import graft.html.Html
 import graft.robots.RobotRules
@@ -60,16 +59,17 @@ object CrawlFunctions {
   val refCaptionUdf = udf((imageId: String) =>
     if (imageId == null) null else ImageCodec.caption(imageId))
 
-  /** URL-seen membership over the engine's two-level Bloom (main = full
-    * frontier at last rebuild; recent = everything enqueued since). Both
-    * sketches ship via `SparkContext.broadcast` — once per executor, never
-    * per task closure — so at 10^10-URL scale the multi-GB main sketch is
-    * sent to each executor exactly once per rebuild. */
+  /** URL-seen membership over the engine's two-level sketch (main = full
+    * frontier at last rebuild; recent = everything enqueued since; kind —
+    * bloom or cuckoo — per CrawlConfig.seenSketch). Both sketches ship via
+    * `SparkContext.broadcast` — once per executor, never per task
+    * closure — so at 10^10-URL scale the multi-GB main sketch is sent to
+    * each executor exactly once per rebuild. */
   def bloomContainsUdf(
-      main: org.apache.spark.broadcast.Broadcast[BloomFilter],
-      recent: org.apache.spark.broadcast.Broadcast[BloomFilter]): org.apache.spark.sql.expressions.UserDefinedFunction =
+      main: org.apache.spark.broadcast.Broadcast[SeenSketch],
+      recent: org.apache.spark.broadcast.Broadcast[SeenSketch]): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((s: String) => s != null &&
-      (main.value.mightContainString(s) || recent.value.mightContainString(s)))
+      (main.value.mightContain(s) || recent.value.mightContain(s)))
 
   /** salted host bucket — pmod(xxhash64(host), n); built-in, codegen'd. */
   def hostBucket(host: Column, n: Int): Column =

@@ -130,6 +130,7 @@ final case class CrawlConfig(
     userAgent: String = "Mozilla/5.0 (X11; Linux x86_64) GraftBot/0.1",
     numBuckets: Int = 32,
     useBloom: Boolean = true,
+    seenSketch: String = "bloom", // URL-seen sketch kind: "bloom" | "cuckoo" (deletable; functions/SeenSketch.scala)
     globalBatchCap: Int = Int.MaxValue, // per-cycle drain cap (reference pulls 25/manager, unbounded pulls/cycle)
     usePolitenessMapGroups: Boolean = false, // window top-k (default) vs typed flatMapGroups token bucket
     broadcastBatchLimit: Long = 250000L, // claimed batches estimated above this switch fetch/validate joins from broadcast to shuffle-hash

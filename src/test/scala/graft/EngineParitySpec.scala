@@ -160,6 +160,13 @@ class EngineParitySpec extends AnyFunSuite {
     assert(o.visited.size === 4)
   }
 
+  test("dedup with cuckoo seen-sketch: identical crawl outcome") {
+    val cfg = CrawlConfig(seenSketch = "cuckoo")
+    val (e, o) = runBoth(Fixtures.dedupDiamond, Fixtures.dedupDiamondSeeds, cfg)
+    assertParity(e, o)
+    assert(o.visited.size === 4)
+  }
+
   test("redirects — chains ≤5 followed, >5 error") {
     val (e, o) = runBoth(Fixtures.redirects, Fixtures.redirectsSeeds)
     assertParity(e, o)
