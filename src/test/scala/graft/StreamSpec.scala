@@ -71,6 +71,34 @@ class StreamSpec extends AnyFunSuite {
     assert(got === Set(1L, 3L, 5L))
   }
 
+  test("StreamNearDup: cross-batch LSH candidates cover the batch minhash pairs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (0L until 30L).map(i =>
+      (i, s"the quick brown fox $i jumps over the lazy dog number $i end of text"))
+    val mutants = (0L until 30L by 3).map(i => (i + 100, base(i.toInt)._2 + " tail"))
+    val all = base ++ mutants
+    val truth = graft.pipeline.Dedup
+      .minhashPairs(all.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture must contain near-dups")
+    val ms = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamNearDup.candidates(
+      ms.toDS().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("snd")
+      .outputMode("append").start()
+    try {
+      // originals mostly in batch 1, mutants in batch 2 → the pairs that
+      // matter span micro-batches and need the bucket state to survive
+      val (b1, b2) = all.splitAt(all.size / 2)
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val cands = spark.table("snd").as[(Long, Long)].collect().toSet
+    assert(truth.subsetOf(cands),
+      s"streaming candidates missing verified pairs: ${truth -- cands}")
+  }
+
   test("StreamDedup.firstSeen on a static frame reproduces exactDedup keepers") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val batchKeepers = Dedup.exactDedup(docs, "doc_id", "text")
