@@ -87,6 +87,7 @@ final class CuckooFilter private (val numBuckets: Int) extends Serializable {
       kicks += 1
     }
     saturatedFlag = true // item dropped — answer "maybe" forever after
+    count -= 1 // the dropped fingerprint is NOT stored: size() reports occupancy
   }
 
   def put(s: String): Unit = {
@@ -145,6 +146,15 @@ object CuckooFilter {
   final val SlotsPerBucket = 4
   final val MaxKicks = 500
   private final val TargetLoad = 0.8
+  /** Largest supported power-of-two bucket count: 2^28 buckets × 4 slots =
+    * 2^30 shorts (2 GiB) — the slot array is Int-indexed, so anything past
+    * this overflows `numBuckets * SlotsPerBucket`. */
+  final val MaxBuckets: Int = 1 << 28
+  /** Largest `expectedItems` one filter holds at the design load. Beyond
+    * it, shard ([[SeenSketch.create]] returns a [[ShardedSeen]] of
+    * per-shard filters) instead of growing a single slot array. */
+  final val MaxItems: Long =
+    (MaxBuckets.toLong * SlotsPerBucket * TargetLoad).toLong
 
   /** Deterministic 64-bit string hash: polynomial over UTF-16 units mixed
     * through splitmix64 (same family as the engine's other sketch seeds). */
@@ -156,9 +166,13 @@ object CuckooFilter {
   }
 
   def create(expectedItems: Long): CuckooFilter = {
+    require(expectedItems <= MaxItems,
+      s"single cuckoo filter capped at $MaxItems items (2^28 4-slot " +
+        s"buckets, Int-indexed slot array); got $expectedItems — use a " +
+        "sharded sketch (SeenSketch.create shards automatically) or bloom")
     val needed = math.max(1L, math.ceil(expectedItems / (SlotsPerBucket * TargetLoad)).toLong)
     var buckets = 1
-    while (buckets < needed && buckets < (1 << 30)) buckets <<= 1
+    while (buckets < needed) buckets <<= 1 // needed <= MaxBuckets by the require
     new CuckooFilter(buckets)
   }
 }

@@ -57,13 +57,17 @@ object StreamNearDup {
         val incoming = rows.map(_._1).toVector.sorted
         val out = Vector.newBuilder[(Long, Long)]
         var seen = members
+        // Set mirror of the stored list for O(1) membership (the state
+        // schema stays a plain List; bounded by maxBucket either way)
+        var seenSet = members.toSet
         var kept = members.size
         incoming.foreach { id =>
-          if (kept < maxBucket && !seen.contains(id)) {
+          if (kept < maxBucket && !seenSet.contains(id)) {
             seen.foreach { m =>
               out += (if (m < id) (m, id) else (id, m))
             }
             seen = id :: seen
+            seenSet += id
             kept += 1
           }
         }

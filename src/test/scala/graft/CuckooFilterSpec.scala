@@ -57,6 +57,42 @@ class CuckooFilterSpec extends AnyFunSuite {
     assert(tiny.mightContain("http://never-inserted.test/"), "saturated must answer maybe")
   }
 
+  test("create past the Int-indexed ceiling throws; sharding covers it") {
+    // a single filter past MaxItems would overflow numBuckets*SlotsPerBucket
+    // (ADVICE r2: NegativeArraySizeException at ~8.6e8 items) — must refuse
+    intercept[IllegalArgumentException] {
+      CuckooFilter.create(CuckooFilter.MaxItems + 1)
+    }
+    // the sharding plan SeenSketch.create uses above the ceiling: covers the
+    // total, never exceeds the per-filter cap
+    for (items <- Seq(CuckooFilter.MaxItems + 1, 3_000_000_000L, 40_000_000_000L)) {
+      val (n, per) = SeenSketch.cuckooShardPlan(items)
+      assert(per <= CuckooFilter.MaxItems)
+      assert(n.toLong * per >= items, s"plan ($n x $per) under-covers $items")
+    }
+  }
+
+  test("ShardedSeen: no false negatives, routing-deterministic, merges") {
+    import graft.functions.ShardedSeen
+    def fresh() = new ShardedSeen(
+      Array.fill(4)(new CuckooSeen(CuckooFilter.create(20000)): SeenSketch))
+    val a = fresh()
+    val in = urls(8000, "sa")
+    in.foreach(a.put)
+    assert(in.forall(a.mightContain), "sharded false negative!")
+    val fps = urls(8000, "sout").count(a.mightContain)
+    assert(fps < 8000 * 0.02, s"sharded fp rate too high: $fps/8000")
+    val b = fresh()
+    val inB = urls(8000, "sb")
+    inB.foreach(b.put)
+    a.mergeIn(b)
+    assert((in ++ inB).forall(a.mightContain), "sharded merge lost members")
+    intercept[IllegalArgumentException] {
+      a.mergeIn(new ShardedSeen(
+        Array.fill(2)(new CuckooSeen(CuckooFilter.create(100)): SeenSketch)))
+    }
+  }
+
   test("SeenSketch broadcast-freeze roundtrip preserves answers") {
     val s = SeenSketch.create("cuckoo", 1000, 0.01)
     val in = urls(400, "z")
