@@ -199,10 +199,27 @@ final class CrawlEngine(
     expectedBatch = seenCountEstimate
     snap.commit(cycle = 0,
       cowTables = Map("frontier" -> ((rows, "bucket", buckets))),
-      fullTables = Map("robots" -> spark.emptyDataset[RobotsRow].toDF()),
-      metrics = Map("seeded" -> seenCountEstimate.toDouble))
+      metrics = Map("seeded" -> seenCountEstimate.toDouble,
+        "num_buckets" -> config.numBuckets.toDouble))
     rows.unpersist(): Unit
   }
+
+  /**
+   * Bucket-keyed state (frontier/robots COW dirs, the dedup-confirm
+   * partition pruning) is only valid under the numBuckets that keyed it:
+   * resuming a workdir with a different numBuckets would prune the wrong
+   * bucket dirs and silently re-enqueue seen URLs (an O5 exactness break)
+   * and replace COW dirs holding rows that now hash elsewhere. Every commit
+   * records `num_buckets`; any reuse of committed state must match.
+   */
+  private def requireBucketCompat(s: Snapshot): Unit =
+    s.metrics.get("num_buckets").foreach { nb =>
+      require(nb.toInt == config.numBuckets,
+        s"workdir state was committed with numBuckets=${nb.toInt} but " +
+          s"config.numBuckets=${config.numBuckets}; bucket-keyed snapshot " +
+          "dirs and dedup pruning would silently mismatch — resume with " +
+          "the original numBuckets")
+    }
 
   /**
    * Mid-crawl seed injection (S2 — the reference's remote AddTasks entry
@@ -213,6 +230,7 @@ final class CrawlEngine(
    */
   def addSeeds(seeds: Seq[String], headers: Map[String, String] = null): Long = {
     val prev = snap.latest.getOrElse(sys.error("engine not initialized"))
+    requireBucketCompat(prev)
     val frontier = loadFrontier(prev)
     val rows = seeds.toDF("raw")
       .select(call_function("graft_canonicalize", $"raw").as("url")).filter($"url".isNotNull)
@@ -237,7 +255,8 @@ final class CrawlEngine(
       val n = rows.count()
       snap.commit(prev.cycle,
         cowTables = Map("frontier" -> ((next, "bucket", touched))),
-        metrics = Map("seeds_added" -> n.toDouble))
+        metrics = Map("seeds_added" -> n.toDouble,
+          "num_buckets" -> config.numBuckets.toDouble))
       seenCountEstimate += n
       expectedBatch += n
       // injected seeds must become visible to the URL-seen filter BEFORE the
@@ -260,7 +279,14 @@ final class CrawlEngine(
     snap.readTable(s, "frontier").get
       .withColumn("bucket", hostBucket($"host", config.numBuckets))
 
-  def loadRobots(s: Snapshot): DataFrame = snap.readTable(s, "robots").get
+  /** Robots state, bucketed by the SAME hostBucket as the frontier (the
+    * bucket column is re-derived from host after load, like loadFrontier —
+    * COW dirs drop it via partitionBy). Absent table (fresh workdir) =
+    * empty: the first cycle synthesizes every needed robots fetch. */
+  def loadRobots(s: Snapshot): DataFrame =
+    snap.readTable(s, "robots")
+      .getOrElse(spark.emptyDataset[RobotsRow].toDF())
+      .withColumn("bucket", hostBucket($"host", config.numBuckets))
 
   /** O9 — completion: no New and no stale-InProgress rows remain. */
   def remaining(frontier: DataFrame, cycle: Long): Long =
@@ -287,6 +313,7 @@ final class CrawlEngine(
   def runCycle(cycle: Long): (Snapshot, Long, Long) = {
     val tPlan0 = System.nanoTime()
     val prev = snap.latest.getOrElse(sys.error("engine not initialized"))
+    requireBucketCompat(prev)
     val frontier = loadFrontier(prev).persist(StorageLevel.MEMORY_AND_DISK)
     val robots = loadRobots(prev)
 
@@ -315,15 +342,35 @@ final class CrawlEngine(
       }).persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- 3. ROBOTS gate (P3): known-allow / known-deny / defer+fetch ----
-    val withRobots = polite.join(robots.hint("broadcast"), Seq("host"), "left")
-    val robotsKnown = withRobots.filter($"fetched_cycle".isNotNull)
-    val robotsUnknown = withRobots.filter($"fetched_cycle".isNull)
+    // The gate NEVER broadcasts the full robots table (at 10^7-10^8
+    // authorities that is a multi-GB broadcast per cycle): the batch's
+    // hosts semi-join the robots table first — a column-pruned scan whose
+    // survivors are O(batch hosts) — and only those rules ship to the
+    // gate join. Mirrors the reference's per-host robots cache lookup
+    // (pipeline/RobotsFilter.scala:22-24: one map probe per request host,
+    // not a scan of every cached authority). A mega-wave batch above the
+    // broadcast limit switches both joins to shuffle-hash, like the fetch.
+    val bigBatch = expectedBatch > config.broadcastBatchLimit
+    val batchHosts = polite.select($"host").distinct()
+    val robotsPruned =
+      if (bigBatch) robots.drop("bucket")
+        .join(batchHosts.hint("shuffle_hash"), Seq("host"), "left_semi")
+      else robots.drop("bucket")
+        .join(broadcast(batchHosts), Seq("host"), "left_semi")
+    // the allow/deny verdict is computed ONCE per row as a column (the
+    // parse+match UDF is the priciest scalar in the gate), then split —
+    // not re-evaluated per branch
+    val withRobots = (if (bigBatch)
+        polite.join(robotsPruned.hint("shuffle_hash"), Seq("host"), "left")
+      else polite.join(broadcast(robotsPruned), Seq("host"), "left"))
+      .withColumn("robots_ok", $"fetched_cycle".isNotNull &&
+        ($"all_allowed" ||
+          robotsAllowedUdf($"rules", lit(config.userAgent), $"url")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val robotsUnknown = withRobots.filter($"fetched_cycle".isNull)
 
-    val denied = robotsKnown.filter(!$"all_allowed" &&
-      !robotsAllowedUdf($"rules", lit(config.userAgent), $"url"))
-    val allowed = robotsKnown.filter($"all_allowed" ||
-      robotsAllowedUdf($"rules", lit(config.userAgent), $"url"))
+    val denied = withRobots.filter($"fetched_cycle".isNotNull && !$"robots_ok")
+    val allowed = withRobots.filter($"robots_ok")
 
     // hosts lacking robots: synthesize ONE robots fetch per authority this
     // cycle, carrying THE SAME HEADERS as the (deterministically first)
@@ -362,6 +409,7 @@ final class CrawlEngine(
     val robotsNew = robotsResp.select($"host",
       ($"parsed".isNull).as("all_allowed"),
       $"parsed".as("rules"), lit(cycle).as("fetched_cycle"), $"req_headers")
+      .withColumn("bucket", hostBucket($"host", config.numBuckets))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val robotsOut = robots.unionByName(robotsNew)
 
@@ -382,12 +430,11 @@ final class CrawlEngine(
     val claimed = allowed.select($"url", $"host", $"bucket", $"depth",
       $"prio", $"retries", $"headers").persist(StorageLevel.MEMORY_AND_DISK)
     val corpus = resolvedCorpus.withColumnRenamed("src_url", "url")
-    // join strategy by estimated batch size: bounded batches broadcast into
-    // the corpus scan (bodies never shuffle); a mega-wave too big for a
-    // driver-built broadcast relation shuffle-hash-joins by url instead —
-    // one distributed shuffle of the claimed wave's pages, no O(batch)
-    // single-threaded driver work
-    val bigBatch = expectedBatch > config.broadcastBatchLimit
+    // join strategy by estimated batch size (bigBatch, computed at the
+    // robots gate): bounded batches broadcast into the corpus scan (bodies
+    // never shuffle); a mega-wave too big for a driver-built broadcast
+    // relation shuffle-hash-joins by url instead — one distributed shuffle
+    // of the claimed wave's pages, no O(batch) single-threaded driver work
     val hits =
       if (bigBatch) corpus.join(claimed.hint("shuffle_hash"), Seq("url"), "inner")
       else corpus.join(broadcast(claimed), Seq("url"), "inner")
@@ -578,7 +625,9 @@ final class CrawlEngine(
           lit(-1).as("bucket"), lit(0L).as("v1"), lit(0L).as("v2"),
           lit(0L).as("v3"), lit(0L).as("v4")).limit(0)))
       .unionByName(tagged("robdef", robotsUnknown.agg(count(lit(1)).as("v1"))))
-      .unionByName(tagged("robnew", robotsNew.agg(count(lit(1)).as("v1"))))
+      // robnew per BUCKET: the bucket set drives the robots COW commit
+      .unionByName(tagged("robnew",
+        robotsNew.groupBy($"bucket").agg(count(lit(1)).as("v1"))))
       .unionByName(tagged("drainable", drainable.agg(count(lit(1)).as("v1"))))
     val statsRows = phaseTimed("stats")(stats.collect())
 
@@ -586,11 +635,12 @@ final class CrawlEngine(
       case r if r.getString(0) == tag => r.getLong(2) }.getOrElse(0L)
     val outStats = statsRows.filter(_.getString(0) == "out")
     val newStats = statsRows.filter(_.getString(0) == "new")
+    val robnewStats = statsRows.filter(_.getString(0) == "robnew")
     val drainedCount = outStats.map(_.getLong(2)).sum
     val enqueuedCount = newStats.map(_.getLong(2)).sum
     val dedupCount = linksCount - enqueuedCount
     val deferredRobots = one("robdef")
-    val robotsFetched = one("robnew")
+    val robotsFetched = robnewStats.map(_.getLong(2)).sum
     // polite == allowed(=outcomes minus denied... exactly claimed+denied) +
     // robots-deferred, so its count derives from branches already collected:
     // polite = |outcomes| + |robotsUnknown| — one fewer stats branch per cycle
@@ -650,9 +700,23 @@ final class CrawlEngine(
     }
     val lineage = spark.createDataset(lineageRows).toDF()
 
+    // robots is COW-committed by hostBucket exactly like the frontier: a
+    // robots-fetching cycle rewrites only the buckets that gained hosts,
+    // not the whole table (the r2 full-table rewrite was O(hosts) per
+    // frontier-expansion cycle). A pre-upgrade workdir holding robots as an
+    // unbucketed blob (key -1) is rebucketed in one full write: listing
+    // every bucket plus -1 as changed replaces the blob dir (no dir is
+    // written for -1, so the key just drops) with per-bucket dirs.
+    val robotsChanged: Set[Int] = if (robotsFetched == 0) Set.empty else {
+      val fresh = robnewStats.map(_.getInt(1)).toSet
+      val legacyBlob = prev.tables.get("robots").exists(_.contains(-1))
+      if (legacyBlob) (0 until config.numBuckets).toSet + (-1) else fresh
+    }
     val s = phaseTimed("commit")(snap.commit(cycle,
-      cowTables = Map("frontier" -> ((frontierNext, "bucket", touched))),
-      fullTables = if (robotsFetched > 0) Map("robots" -> robotsOut.drop("bucket")) else Map.empty,
+      cowTables = Map("frontier" -> ((frontierNext, "bucket", touched))) ++
+        (if (robotsChanged.nonEmpty)
+          Map("robots" -> ((robotsOut, "bucket", robotsChanged)))
+        else Map.empty),
       // robots-only cycles (drained == 0) have structurally empty output;
       // skipping the append avoids a full images-table scan against an
       // empty batch when AQE isn't there to collapse it
@@ -660,6 +724,7 @@ final class CrawlEngine(
         else Map.empty[String, DataFrame]) + ("lineage" -> lineage),
       metrics = Map(
         "cycle" -> cycle.toDouble,
+        "num_buckets" -> config.numBuckets.toDouble,
         "drained" -> drainedCount.toDouble,
         "enqueued" -> enqueuedCount.toDouble,
         "deduped" -> dedupCount.toDouble,
@@ -667,7 +732,7 @@ final class CrawlEngine(
         "deferred_robots" -> deferredRobots.toDouble,
         "dangling_images" -> one("dangling").toDouble)))
 
-    phaseTimed("unpersist")((Seq(frontier, polite, robotsUnknown, claimed, responded, ok, outcomes,
+    phaseTimed("unpersist")((Seq(frontier, polite, withRobots, claimed, responded, ok, outcomes,
       newRows, robotsNew, batchLinks)).foreach(_.unpersist()))
     // O9 from this cycle's stats: work remains iff something was enqueued,
     // deferred (robots/politeness) or re-enqueued for retry — saves the
@@ -705,6 +770,7 @@ final class CrawlEngine(
   def prepareResume(): Unit = {
     prepareCorpus()
     require(snap.latest.nonEmpty, "nothing to resume")
+    requireBucketCompat(snap.latest.get)
     // rebuild the seen estimate (bloom sizing) and the next-batch estimate
     // (join-strategy choice) in one pass over the frontier
     val counts = loadFrontier(snap.latest.get)

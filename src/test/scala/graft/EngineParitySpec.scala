@@ -234,6 +234,25 @@ class EngineParitySpec extends AnyFunSuite {
     assert(got === oracle.statuses.map { case (u, (s, _)) => u -> s })
   }
 
+  test("resume with a different numBuckets fails loudly (no silent O5 break)") {
+    // bucket-keyed COW dirs + dedup pruning are only valid under the
+    // numBuckets that keyed them (ADVICE r2): a mismatched resume used to
+    // prune the WRONG frontier buckets and silently re-enqueue seen URLs
+    val dir = Files.createTempDirectory("graft-nbmismatch").toString
+    val mk = (nb: Int) => new CrawlEngine(spark, CrawlConfig(numBuckets = nb),
+      spark.createDataset(Fixtures.site3).toDF(),
+      spark.emptyDataset[ImageRow].toDF(), dir)
+    val e1 = mk(32)
+    e1.init(Fixtures.site3Seeds)
+    e1.runCycle(1L)
+    val e2 = mk(16)
+    val ex = intercept[IllegalArgumentException] { e2.resume() }
+    assert(ex.getMessage.contains("numBuckets"))
+    intercept[IllegalArgumentException] { e2.addSeeds(Seq("http://x.test/")) }
+    // the matching config still resumes fine
+    mk(32).resume()
+  }
+
   test("addSeeds: page linking BACK to an injected seed is deduped (O5 stays exact)") {
     val pages = Fixtures.site3 ++ Fixtures.loopback
     val dir = Files.createTempDirectory("graft-loopback").toString
