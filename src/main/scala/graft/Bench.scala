@@ -338,18 +338,46 @@ object Bench {
     // the alignment and silently pair runs from different host windows
     var pairsWkHi = List.empty[(CrawlRun, CrawlRun)]
     var pairsLoHi = List.empty[(CrawlRun, CrawlRun)]
-    if (!skipCrawl) (1 to trials).foreach { t =>
+    def trialRound(polite: Boolean): Unit = {
       val lo = crawlBenchIsolated(nLo, benchHosts, benchPages)
       val hi = crawlBenchIsolated(nHi, benchHosts, benchPages)
       val wk = crawlBenchIsolated(nLo, benchHosts / 4, benchPages / 4)
       runsLo = runsLo ++ lo; runsHi = runsHi ++ hi; runsWk = runsWk ++ wk
       for (h <- hi; w <- wk) pairsWkHi = pairsWkHi :+ ((w, h))
       for (h <- hi; l <- lo) pairsLoHi = pairsLoHi :+ ((l, h))
-      if (t <= politeTrials) {
+      if (polite) {
         runsPlLo = runsPlLo ++ crawlBenchIsolated(nLo, politeHosts, politePages,
           politeBudget, politeCycles)
         runsPlHi = runsPlHi ++ crawlBenchIsolated(nHi, politeHosts, politePages,
           politeBudget, politeCycles)
+      }
+    }
+    // CLEAN-WINDOW detection: this host time-shares its CPUs in storms
+    // that stretch arbitrary trials 2-4x (BASELINE.md §C). A same-trial
+    // pair is "clean" when BOTH its legs land within CleanSlack of that
+    // leg's observed minimum — i.e. neither leg was stormed. The paired
+    // estimators below use ONLY clean pairs; if the base trials yield
+    // fewer than MinCleanPairs of them, keep running extra trial rounds
+    // (bounded) until a qualifying tight window is captured, and record
+    // the regime in the JSON instead of silently reporting storm numbers.
+    val CleanSlack = 1.30
+    val MinCleanPairs = 2
+    val maxExtraTrials = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "6").toInt
+    def cleanPairs(pairs: List[(CrawlRun, CrawlRun)]): List[(CrawlRun, CrawlRun)] = {
+      if (pairs.isEmpty) Nil
+      else {
+        val minA = pairs.map(_._1.secs).min
+        val minB = pairs.map(_._2.secs).min
+        pairs.filter { case (a, b) =>
+          a.secs <= minA * CleanSlack && b.secs <= minB * CleanSlack }
+      }
+    }
+    var extraTrials = 0
+    if (!skipCrawl) {
+      (1 to trials).foreach(t => trialRound(polite = t <= politeTrials))
+      while (cleanPairs(pairsWkHi).size < MinCleanPairs && extraTrials < maxExtraTrials) {
+        extraTrials += 1
+        trialRound(polite = false)
       }
     }
     val cLo = runsLo.sortBy(_.secs).headOption
@@ -363,11 +391,26 @@ object Bench {
     // PAIRED estimators: min-of-each-leg is one-sided under host noise (a
     // clean window for one leg and storms for the other skews the ratio in
     // either direction); legs of the same trial run adjacently and so share
-    // one host window — the best same-trial pair is the noise-robust view
-    val effWeakPaired = pairsWkHi
+    // one host window. `paired` = MEDIAN ratio over the clean same-trial
+    // pairs (the robust estimate); `paired_best` = max over all pairs (the
+    // single most favorable pairing — explicitly labeled as such, it is an
+    // upper bound, not a robust estimate).
+    def median(xs: List[Double]): Option[Double] = {
+      val s = xs.sorted
+      if (s.isEmpty) None
+      else if (s.size % 2 == 1) Some(s(s.size / 2))
+      else Some((s(s.size / 2 - 1) + s(s.size / 2)) / 2)
+    }
+    val weakRatios = cleanPairs(pairsWkHi)
+      .map { case (w, h) => math.min(1.0, w.secs / h.secs) }
+    val effWeakPaired = median(weakRatios)
+    val effWeakPairedBest = pairsWkHi
       .map { case (w, h) => math.min(1.0, w.secs / h.secs) }
       .maxOption
-    val effStrongPaired = pairsLoHi
+    val strongRatios = cleanPairs(pairsLoHi)
+      .map { case (l, h) => math.min(1.0, h.fetchedPerSec / (4.0 * l.fetchedPerSec)) }
+    val effStrongPaired = median(strongRatios)
+    val effStrongPairedBest = pairsLoHi
       .map { case (l, h) => math.min(1.0, h.fetchedPerSec / (4.0 * l.fetchedPerSec)) }
       .maxOption
 
@@ -388,8 +431,12 @@ object Bench {
         s""""weak_local$nLo":{"pages":${w.pages},"secs":${f(w.secs)},"fetched_per_sec":${f(w.fetchedPerSec)},"trials":${trialsJson(runsWk)}},""" +
         s""""scaling_efficiency_strong":${f(es)},""" +
         s""""scaling_efficiency_strong_paired":${f(effStrongPaired.getOrElse(0.0))},""" +
+        s""""scaling_efficiency_strong_paired_best":${f(effStrongPairedBest.getOrElse(0.0))},""" +
         s""""scaling_efficiency_weak":${f(ew)},""" +
         s""""scaling_efficiency_weak_paired":${f(effWeakPaired.getOrElse(0.0))},""" +
+        s""""scaling_efficiency_weak_paired_best":${f(effWeakPairedBest.getOrElse(0.0))},""" +
+        s""""clean_pairs":${cleanPairs(pairsWkHi).size},""" +
+        s""""extra_trials":$extraTrials,""" +
         s""""scaling_efficiency_weak_hw_normalized":${f(math.min(1.0, ew / math.max(hwCap, 1e-9)))},""" +
         s""""scaling_efficiency_weak_mem_normalized":${f(math.min(1.0, ew / math.max(hwMemCap, 1e-9)))},""" +
         s""""hw_scaling_cap":${f(hwCap)},""" +

@@ -316,6 +316,19 @@ object SparkEntry {
         k = 5, cells = 16, nProbe = 6, iters = 2)
     }),
 
+    // nProbe == cells probes EVERY inverted list, which is provably the
+    // exact brute-force ranking (PipelineSpec asserts the identity), so the
+    // iteratively-trained quantizer drops out of the observable result and
+    // the q45 DuckDB mirror replays this IVF path bit-exactly — a value
+    // oracle for the IVF join/re-score/top-k machinery itself.
+    "q49_ann_ivf_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, cells = 16, nProbe = 16, iters = 2)
+    }),
+
     // Static replay of the stateful streaming dedup (flatMapGroupsWithState
     // first-seen filter): one "batch" over the augmented corpus must keep
     // exactly the min-id row per normalized-content group.
@@ -364,6 +377,19 @@ object SparkEntry {
       |  i -> a[i]::DOUBLE * a[i]::DOUBLE)), (x, y) -> x + y))
       | * sqrt(list_reduce(list_concat([0.0::DOUBLE], list_transform(range(1, len(b) + 1),
       |  i -> b[i]::DOUBLE * b[i]::DOUBLE)), (x, y) -> x + y)))""".stripMargin
+
+  /** Exact cosine top-5 mirror for the <20-id query set — the oracle for
+    * q45 (brute force) and q49_ann_ivf_exact (IVF at nProbe == cells, which
+    * is the identical ranking). */
+  private val BruteForceTopKSql =
+    s"""SELECT q_id, rank, neighbor, round(s, 6) AS sim FROM (
+       |  SELECT q_id, neighbor, s,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor) AS rank
+       |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS neighbor,
+       |      $CosMirror AS s
+       |    FROM (SELECT vec_id, embedding AS a FROM embeddings WHERE vec_id < 20) q
+       |    JOIN (SELECT vec_id, embedding AS b FROM embeddings) c ON c.vec_id <> q.vec_id))
+       |WHERE rank <= 5""".stripMargin
 
   /** 64-bit wrapping multiply `x * c` for DuckDB (used by the q46 splitmix64
     * mirror): 32-bit split products in HUGEINT, reduced mod 2^64, back to
@@ -602,15 +628,11 @@ object SparkEntry {
          |FROM (SELECT x.vec_id AS vec_id, x.embedding AS a, y.embedding AS b
          |  FROM embeddings x JOIN embeddings y ON y.vec_id = x.vec_id + 1)""".stripMargin,
 
-    "q45_ann_bruteforce" ->
-      s"""SELECT q_id, rank, neighbor, round(s, 6) AS sim FROM (
-         |  SELECT q_id, neighbor, s,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor) AS rank
-         |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS neighbor,
-         |      $CosMirror AS s
-         |    FROM (SELECT vec_id, embedding AS a FROM embeddings WHERE vec_id < 20) q
-         |    JOIN (SELECT vec_id, embedding AS b FROM embeddings) c ON c.vec_id <> q.vec_id))
-         |WHERE rank <= 5""".stripMargin,
+    "q45_ann_bruteforce" -> BruteForceTopKSql,
+
+    // IVF with nProbe == cells IS brute force (every inverted list probed;
+    // PipelineSpec asserts the identity), so the same mirror replays it.
+    "q49_ann_ivf_exact" -> BruteForceTopKSql,
 
     // Full mirror of lshTopK(planes=8, dims=64, tables=4, probes=1):
     // splitmix64-derived hyperplanes (Similarity.planeComponent) rebuilt
