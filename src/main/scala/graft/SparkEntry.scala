@@ -329,6 +329,23 @@ object SparkEntry {
         k = 5, cells = 16, nProbe = 16, iters = 2)
     }),
 
+    // IVF-PQ: product-quantized residuals over the IVF layout — the index
+    // stores m=8 BYTES per vector (no full vectors), candidates score by
+    // ADC table lookups, and the top-50 re-rank against the source table
+    // restores exact cosine ranking quality. Approximate by design ⇒
+    // rows-only at the driver gate; recall + determinism are pinned in
+    // PipelineSpec.
+    "q51_ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+      val (cents, books) = Similarity.ivfPqWriteIndex(
+        e, "vec_id", "embedding", idx, cells = 16, m = 8, ksub = 16, iters = 2)
+      Similarity.ivfPqTopK(s, idx, cents, books,
+        e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nProbe = 6, rerank = 50,
+        corpus = e, idCol = "vec_id", vecCol = "embedding")
+    }),
+
     // Static replay of the stateful streaming dedup (flatMapGroupsWithState
     // first-seen filter): one "batch" over the augmented corpus must keep
     // exactly the min-id row per normalized-content group.

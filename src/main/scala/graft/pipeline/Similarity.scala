@@ -169,9 +169,15 @@ object Similarity {
         col("tb._1").as("tbl"), col("tb._2").as("bucket")))
     c.join(q, Seq("tbl", "bucket"))
       .where(col("neighbor") =!= col("q_id"))
-      // a pair can match in several tables/probes; dedupe BEFORE scoring
-      .dropDuplicates("q_id", "neighbor")
+      // a pair can match in several tables/probes. Score FIRST, dedupe
+      // AFTER: the dedupe is a shuffle, and deduping before scoring ships
+      // both 64-dim double vectors per candidate row (~1 KB each) through
+      // it — re-scoring a duplicated pair costs 64 multiplies in place,
+      // while the post-score dedupe shuffles three scalars. (Exact: sim is
+      // a deterministic function of the pair, so duplicates agree.)
       .withColumn("sim", cosine(col("qv"), col("cv")))
+      .select(col("q_id"), col("neighbor"), col("sim"))
+      .dropDuplicates("q_id", "neighbor")
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor"))))
       .where(col("rank") <= k)
@@ -343,5 +349,231 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("neighbor"), round(col("sim"), 6).as("sim"))
+  }
+
+  // ---- IVF-PQ (product-quantized residuals) ------------------------------
+  //
+  // IVF-Flat re-scores FULL vectors: the index stores `dims` floats per
+  // row, so a corpus whose embeddings outgrow executor memory (or whose
+  // scan cost dominates) needs compression. Product quantization (Jégou,
+  // Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+  // TPAMI 2011 — public paper) stores each L2-normalized vector's RESIDUAL
+  // against its coarse centroid as `m` one-byte codewords: 64-dim float
+  // vectors become m=8 bytes (32x smaller), and scoring is `m` table
+  // lookups per candidate (ADC — asymmetric distance computation) instead
+  // of a `dims`-wide dot product. Recall lost to quantization is recovered
+  // by exact re-ranking of the top `rerank` approximate candidates against
+  // the source table.
+
+  /** Trained PQ codebooks: `m` sub-quantizers over `subDim`-wide slices,
+    * `ksub` codewords each (`ksub` <= 256 — codes pack into one byte). */
+  final case class PqCodebooks(m: Int, ksub: Int, subDim: Int,
+      codewords: Array[Array[Array[Double]]]) { // [m][ksub][subDim]
+    require(ksub <= 256, "PQ codes pack into one byte: ksub <= 256")
+  }
+
+  private def nearestSub(r: Array[Double], off: Int, book: Array[Array[Double]]): Int = {
+    // nearest codeword by L2 on the residual slice; deterministic tie on id
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val w = book(c)
+      var d = 0.0; var i = 0
+      while (i < w.length) { val x = r(off + i) - w(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /**
+   * Train `m` PQ codebooks of `ksub` codewords over coarse-cell residuals
+   * with `iters` Lloyd rounds — same determinism recipe as
+   * [[ivfCentroids]]: hash-picked init rows, hash-sampled training set,
+   * order-independent scaled-long means. One assignment pass per round;
+   * only (m, code, pos) sums reach the driver, never vectors.
+   */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], m: Int, ksub: Int, iters: Int,
+      trainMod: Int = 1): PqCodebooks = {
+    val norms = centroidNorms(cents)
+    val train = (if (trainMod > 1)
+      corpus.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
+    else corpus).select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val dims = cents(0).length
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val subDim = dims / m
+    val residUdf = udf((v: Seq[Float]) => {
+      val n = normalizeSeq(v)
+      val cell = nearestCells(v, cents, norms, 1).head
+      val cent = cents(cell)
+      Array.tabulate(dims)(d => (if (d < n.length) n(d) else 0.0) - cent(d)).toSeq
+    })
+    val resid = train.select(col("_id"), residUdf(col("_v")).as("_r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // init: the ksub hash-smallest residuals seed every codebook's slices
+    var books: Array[Array[Array[Double]]] = {
+      val seedRows = resid.orderBy(xxhash64(col("_id")), col("_id")).limit(ksub)
+        .collect().map(_.getSeq[Double](1).toArray)
+      Array.tabulate(m, ksub)((mm, c) =>
+        seedRows(c % seedRows.length).slice(mm * subDim, (mm + 1) * subDim))
+    }
+    var it = 0
+    while (it < iters) {
+      val b = books
+      val assignUdf = udf((r: Seq[Double]) => {
+        val arr = r.toArray
+        (0 until m).map(mm => nearestSub(arr, mm * subDim, b(mm)))
+      })
+      val sums = resid
+        .select(posexplode(assignUdf(col("_r"))).as(Seq("m", "code")), col("_r"))
+        .select(col("m"), col("code"), posexplode_outer(
+          slice(col("_r"), col("m") * subDim + 1, lit(subDim))).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(sum((col("x") * lit(4294967296L)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+        r.getLong(3).toDouble / r.getLong(4) / 4294967296.0)
+      books = next // empty codes keep their previous codeword
+      it += 1
+    }
+    resid.unpersist()
+    PqCodebooks(m, ksub, subDim, books)
+  }
+
+  private def normalizeSeq(v: Seq[Float]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    val out = new Array[Double](v.length)
+    i = 0
+    while (i < v.length) { out(i) = if (n == 0) v(i) else v(i) / n; i += 1 }
+    out
+  }
+
+  /**
+   * Build and persist the IVF-PQ index: (neighbor, code binary, cell)
+   * partitioned by `cell`, NO full vectors — `m` bytes per row is the
+   * whole per-vector payload, which is what lets an embedding corpus
+   * larger than executor memory still fit a scan budget. Returns the
+   * trained (coarse centroids, codebooks) — the query-side quantizer pair.
+   */
+  def ivfPqWriteIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, cells: Int = 16, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2, trainMod: Int = 1): (Array[Array[Double]], PqCodebooks) = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, cells, iters, trainMod)
+    val books = pqTrain(corpus, idCol, vecCol, cents, m, ksub, iters, trainMod)
+    val norms = centroidNorms(cents)
+    val dims = cents(0).length
+    val subDim = books.subDim
+    val encodeUdf = udf((v: Seq[Float]) => {
+      val n = normalizeSeq(v)
+      val cell = nearestCells(v, cents, norms, 1).head
+      val cent = cents(cell)
+      val r = Array.tabulate(dims)(d => (if (d < n.length) n(d) else 0.0) - cent(d))
+      val code = new Array[Byte](books.m)
+      var mm = 0
+      while (mm < books.m) {
+        code(mm) = nearestSub(r, mm * subDim, books.codewords(mm)).toByte
+        mm += 1
+      }
+      (cell, code)
+    })
+    corpus.select(col(idCol).as("neighbor"), encodeUdf(col(vecCol)).as("_e"))
+      .select(col("neighbor"), col("_e._2").as("code"), col("_e._1").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    (cents, books)
+  }
+
+  /**
+   * Query the IVF-PQ index: each query probes `nProbe` cells with a
+   * per-(query, cell) ADC lookup table computed ONCE on the (broadcast)
+   * query side — candidates score with `m` array lookups, never a dot
+   * product. `rerank > 0` re-scores that many top approximate candidates
+   * per query exactly against `corpus` (broadcast ids into the corpus
+   * scan — full vectors are read only for the re-rank slice).
+   */
+  def ivfPqTopK(spark: SparkSession, path: String,
+      cents: Array[Array[Double]], books: PqCodebooks,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      nProbe: Int = 4, rerank: Int = 0,
+      corpus: DataFrame = null, idCol: String = null, vecCol: String = null): DataFrame = {
+    val norms = centroidNorms(cents)
+    val dims = cents(0).length
+    val subDim = books.subDim
+    val probeOf = udf((v: Seq[Float]) => nearestCells(v, cents, norms, nProbe))
+    // per-(query, cell): base = dot(q̂, cent); table[mm*ksub + c] = dot(q̂_mm
+    // - cent_mm, codeword) restricted to the slice — so approx IP(q̂, x̂) =
+    // base + Σ_mm table[mm*ksub + code(mm)]
+    val tableUdf = udf((v: Seq[Float], cell: Int) => {
+      val q = normalizeSeq(v)
+      val cent = cents(cell)
+      var base = 0.0
+      var d = 0
+      while (d < dims) { base += (if (d < q.length) q(d) else 0.0) * cent(d); d += 1 }
+      val tbl = new Array[Double](books.m * books.ksub)
+      var mm = 0
+      while (mm < books.m) {
+        val off = mm * subDim
+        var c = 0
+        while (c < books.codewords(mm).length) {
+          val w = books.codewords(mm)(c)
+          var s = 0.0
+          var i = 0
+          while (i < w.length) { s += (if (off + i < q.length) q(off + i) else 0.0) * w(i); i += 1 }
+          tbl(mm * books.ksub + c) = s
+          c += 1
+        }
+        mm += 1
+      }
+      (base, tbl.toSeq)
+    })
+    val adcUdf = udf((base: Double, tbl: Seq[Double], code: Array[Byte]) => {
+      var s = base
+      var mm = 0
+      while (mm < code.length) { s += tbl(mm * books.ksub + (code(mm) & 0xff)); mm += 1 }
+      s
+    })
+    val q0 = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("_qv"),
+      probeOf(col(qVecCol)).as("_pr"))
+    val q = q0.select(col("q_id"), col("_qv"), explode(col("_pr")).as("cell"))
+      .select(col("q_id"), col("cell"), tableUdf(col("_qv"), col("cell")).as("_t"))
+      .select(col("q_id"), col("cell"), col("_t._1").as("base"), col("_t._2").as("tbl"))
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0))
+    val idx = spark.read.parquet(path)
+      .where(col("cell").isin(probed.map(x => x: Any): _*))
+    val approx = idx.join(broadcast(q), Seq("cell"))
+      .where(col("neighbor") =!= col("q_id"))
+      .withColumn("asim", adcUdf(col("base"), col("tbl"), col("code")))
+      .select(col("q_id"), col("neighbor"), col("asim"))
+    if (rerank <= 0) {
+      approx
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("asim").desc, col("neighbor"))))
+        .where(col("rank") <= k)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+          col("neighbor"), round(col("asim"), 6).as("sim"))
+    } else {
+      val top = approx
+        .withColumn("arank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("asim").desc, col("neighbor"))))
+        .where(col("arank") <= rerank)
+        .select(col("q_id"), col("neighbor"))
+      // re-rank slice: candidate (q_id, neighbor) pairs broadcast INTO the
+      // corpus scan — full vectors are read once, in place, only for the
+      // pairs being re-ranked; queries broadcast for the exact re-score
+      val cv = corpus.select(col(idCol).as("neighbor"), asDouble(col(vecCol)).as("cv"))
+      val qv = broadcast(q0.select(col("q_id"), asDouble(col("_qv")).as("qv")))
+      cv.join(broadcast(top), Seq("neighbor"))
+        .join(qv, Seq("q_id"))
+        .withColumn("sim", cosine(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor"))))
+        .where(col("rank") <= k)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+          col("neighbor"), round(col("sim"), 6).as("sim"))
+    }
   }
 }

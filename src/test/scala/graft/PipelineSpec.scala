@@ -237,6 +237,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(all === brute, "nProbe == cells must reproduce brute force")
   }
 
+  test("ivfPq: deterministic codebooks; recall curve vs flat; rerank recovers >= 0.9") {
+    def topSets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val cl = clusteredVecsDf(400, 64, 8)
+    val clq = cl.filter($"vec_id" < 40)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    val (cents, books) = Similarity.ivfPqWriteIndex(cl, "vec_id", "embedding",
+      s"$dir/a", cells = 8, m = 8, ksub = 16, iters = 2)
+    // deterministic: a second training run yields bit-identical quantizers
+    val (cents2, books2) = Similarity.ivfPqWriteIndex(cl, "vec_id", "embedding",
+      s"$dir/b", cells = 8, m = 8, ksub = 16, iters = 2)
+    assert(cents.map(_.toSeq).toSeq === cents2.map(_.toSeq).toSeq)
+    assert(books.codewords.map(_.map(_.toSeq).toSeq).toSeq ===
+      books2.codewords.map(_.map(_.toSeq).toSeq).toSeq)
+    // the index stores m bytes per vector, never the 64 floats
+    val idxSchema = spark.read.parquet(s"$dir/a").schema
+    assert(idxSchema.fieldNames.toSet === Set("neighbor", "code", "cell"))
+
+    val brute = topSets(Similarity.bruteForceTopK(cl, "vec_id", "embedding",
+      clq, "vec_id", "embedding", k = 5))
+    def recallOf(m: Map[Long, Set[Long]]) = brute.map { case (q, bs) =>
+      m.getOrElse(q, Set.empty[Long]).intersect(bs).size.toDouble / bs.size
+    }.sum / brute.size
+    // compression regime (m=8 bytes/vector, ksub=16): the fixture's
+    // within-cluster ordering is pure ±0.1 noise, which 4-bit residual
+    // codes cannot rank — ADC-only recall is honestly near-random here.
+    // The production contract is the CURVE: the ADC top-`rerank` candidate
+    // set still covers the true neighbors (rerank must exceed the worst
+    // cell occupancy so near-random ADC order inside a cell cannot
+    // truncate them), so the exact re-rank recovers them.
+    val adcOnly = recallOf(topSets(Similarity.ivfPqTopK(spark, s"$dir/a",
+      cents, books, clq, "vec_id", "embedding", k = 5, nProbe = 4)))
+    val reranked = recallOf(topSets(Similarity.ivfPqTopK(spark, s"$dir/a",
+      cents, books, clq, "vec_id", "embedding", k = 5, nProbe = 4,
+      rerank = 120, corpus = cl, idCol = "vec_id", vecCol = "embedding")))
+    assert(reranked >= 0.9, f"re-ranked recall@5 $reranked%.3f < 0.9")
+    assert(reranked >= adcOnly - 1e-9,
+      f"re-rank must not lose recall: $reranked%.3f vs $adcOnly%.3f")
+    info(f"IVF-PQ recall@5: adc-only $adcOnly%.3f, rerank-120 $reranked%.3f")
+
+    // memorization regime (ksub >= corpus size): every residual seeds its
+    // own codeword and Lloyd keeps it there, so quantization error is ~0
+    // and ADC ranking must reproduce near-exact cosine ranking WITHOUT
+    // re-rank — this leg catches any sign/offset/indexing bug in the ADC
+    // tables that the compression regime's noise would mask. (ksub caps at
+    // 256 byte codes, so the corpus must stay <= 256 for this identity.)
+    val clM = clusteredVecsDf(200, 64, 8)
+    val clMq = clM.filter($"vec_id" < 40)
+    val bruteM = topSets(Similarity.bruteForceTopK(clM, "vec_id", "embedding",
+      clMq, "vec_id", "embedding", k = 5))
+    val (cM, bM) = Similarity.ivfPqWriteIndex(clM, "vec_id", "embedding",
+      s"$dir/m", cells = 4, m = 8, ksub = 256, iters = 2)
+    val adcM = topSets(Similarity.ivfPqTopK(spark, s"$dir/m",
+      cM, bM, clMq, "vec_id", "embedding", k = 5, nProbe = 4))
+    val adcExact = bruteM.map { case (q, bs) =>
+      adcM.getOrElse(q, Set.empty[Long]).intersect(bs).size.toDouble / bs.size
+    }.sum / bruteM.size
+    assert(adcExact >= 0.9, f"memorization-regime ADC recall@5 $adcExact%.3f < 0.9")
+    info(f"IVF-PQ memorization-regime ADC recall@5: $adcExact%.3f")
+  }
+
   test("hammingPairs on image phash: duplicate payloads paired, distinct not") {
     // image near-dup = the simhash banding core over the perceptual hash:
     // ids 0..9 distinct payloads; 100..104 byte-identical re-encodes of 0..4
