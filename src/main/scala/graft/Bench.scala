@@ -74,7 +74,8 @@ object Bench {
   }
 
   def crawlBench(cores: Int, nHosts: Int, nPages: Int,
-      budget: Int = Int.MaxValue / 2, maxCycles: Int = 1000): CrawlRun = {
+      budget: Int = Int.MaxValue / 2, maxCycles: Int = 1000,
+      waves: Int = 1): CrawlRun = {
     val spark = mkSpark(cores)
     val clock = new TaskClock
     spark.sparkContext.addSparkListener(clock)
@@ -89,7 +90,8 @@ object Bench {
       val pagesDf = Corpus.pages(spark, spec).toDF()
       val imagesDf = Corpus.images(spark, spec).toDF()
       val engine = new CrawlEngine(spark,
-        CrawlConfig(hostBudget = budget, maxDepth = 2), pagesDf,
+        CrawlConfig(hostBudget = budget, maxDepth = 2,
+          wavesPerCommit = waves), pagesDf,
         imagesDf, dir)
       engine.prepareCorpus() // one-time setup excluded from the timed region
       val seedsDf = spark.read.parquet(s"$dir/corpus_resolved")
@@ -132,7 +134,8 @@ object Bench {
    * cluster sizes.
    */
   def crawlBenchIsolated(cores: Int, nHosts: Int, nPages: Int,
-      budget: Int = Int.MaxValue / 2, maxCycles: Int = 1000): Option[CrawlRun] = {
+      budget: Int = Int.MaxValue / 2, maxCycles: Int = 1000,
+      waves: Int = 1): Option[CrawlRun] = {
     val java = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val addOpens = Seq(
@@ -160,6 +163,7 @@ object Bench {
     pb.environment().put("SPARK_GRAFT_BENCH_HOSTS", nHosts.toString)
     pb.environment().put("SPARK_GRAFT_BENCH_BUDGET", budget.toString)
     pb.environment().put("SPARK_GRAFT_BENCH_MAXCYCLES", maxCycles.toString)
+    pb.environment().put("SPARK_GRAFT_BENCH_WAVES", waves.toString)
     pb.environment().put("SPARK_GRAFT_AQE", "false")
     pb.environment().put("SPARK_GRAFT_SHUFFLE_PARTS", cores.toString)
     val proc = pb.start()
@@ -266,8 +270,9 @@ object Bench {
       val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET",
         (Int.MaxValue / 2).toString).toInt
       val maxCycles = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXCYCLES", "1000").toInt
+      val waves = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAVES", "1").toInt
       val runs = coreList.map(c =>
-        crawlBench(c, benchHosts, benchPages, budget, maxCycles))
+        crawlBench(c, benchHosts, benchPages, budget, maxCycles, waves))
       runs.foreach(r => println(
         f"CRAWLRUN cores=${r.cores} pages=${r.pages} fetched=${r.fetched} " +
           f"enqueued=${r.enqueued} secs=${r.secs}%.3f " +
@@ -326,6 +331,11 @@ object Bench {
     val politePages = sys.env.getOrElse("SPARK_GRAFT_BENCH_POLITE_PAGES", "12800").toInt
     val politeBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_POLITE_BUDGET", "10").toInt
     val politeCycles = sys.env.getOrElse("SPARK_GRAFT_BENCH_POLITE_CYCLES", "25").toInt
+    // the politeness envelope runs many small budget-bounded cycles — the
+    // regime wavesPerCommit exists for (K waves chained in memory per
+    // snapshot commit); 4 amortizes the COW write without inflating the
+    // crash-replay window
+    val politeWaves = sys.env.getOrElse("SPARK_GRAFT_BENCH_POLITE_WAVES", "4").toInt
     val hwCap = if (skipCrawl) 1.0 else hwScalingCap(nLo, nHi)
     val hwMemCap = if (skipCrawl) 1.0 else hwMemScalingCap(nLo, nHi)
     var runsLo = List.empty[CrawlRun] // nLo cores, full pages (strong)
@@ -347,9 +357,9 @@ object Bench {
       for (h <- hi; l <- lo) pairsLoHi = pairsLoHi :+ ((l, h))
       if (polite) {
         runsPlLo = runsPlLo ++ crawlBenchIsolated(nLo, politeHosts, politePages,
-          politeBudget, politeCycles)
+          politeBudget, politeCycles, politeWaves)
         runsPlHi = runsPlHi ++ crawlBenchIsolated(nHi, politeHosts, politePages,
-          politeBudget, politeCycles)
+          politeBudget, politeCycles, politeWaves)
       }
     }
     // CLEAN-WINDOW detection: this host time-shares its CPUs in storms
@@ -419,7 +429,7 @@ object Bench {
     val total = results.map(_._2).sum
     def trialsJson(rs: List[CrawlRun]) = rs.map(r => f(r.secs)).mkString("[", ",", "]")
     val politeJson = (for (a <- cPlLo; b <- cPlHi) yield
-      s""","polite":{"pages":${a.pages},"budget":$politeBudget,"cycles_cap":$politeCycles,""" +
+      s""","polite":{"pages":${a.pages},"budget":$politeBudget,"cycles_cap":$politeCycles,"waves_per_commit":$politeWaves,""" +
         s""""local$nLo":{"secs":${f(a.secs)},"fetched_per_sec":${f(a.fetchedPerSec)},"trials":${trialsJson(runsPlLo)}},""" +
         s""""local$nHi":{"secs":${f(b.secs)},"fetched_per_sec":${f(b.fetchedPerSec)},"trials":${trialsJson(runsPlHi)}},""" +
         s""""scaling_efficiency_strong":${f(b.fetchedPerSec / (4.0 * a.fetchedPerSec))}}""")

@@ -121,9 +121,13 @@ final class CrawlEngine(
       images.write.mode("overwrite").parquet(imagesPath)
     def ensureRobotsTable(): Unit =
       if (!new java.io.File(corpusRobotsPath).exists())
-        spark.read.parquet(corpusPath)
+        resolvedCorpus
           .filter($"src_url".endsWith("/robots.txt"))
           .write.mode("overwrite").parquet(corpusRobotsPath)
+    // a user-supplied bucketed corpus table IS the resolved corpus (the
+    // Iceberg bucket(url) layout): no redirect pre-resolution pass here —
+    // only the small one-row-per-host robots side table is derived from it
+    if (config.bucketedCorpusTable.nonEmpty) { ensureRobotsTable(); return }
     if (new java.io.File(corpusPath).exists()) { ensureRobotsTable(); return }
     val p = pages.select($"url", $"status", $"content_type", $"body",
       $"image_id", $"redirect_to")
@@ -159,7 +163,13 @@ final class CrawlEngine(
     ensureRobotsTable()
   }
 
-  def resolvedCorpus: DataFrame = spark.read.parquet(corpusPath)
+  /** The resolved corpus: the user-registered url-bucketed catalog table
+    * when configured (co-located fetch joins — no Exchange on the corpus
+    * side at any batch size), else the redirect-resolved parquet built by
+    * [[prepareCorpus]]. Schema either way:
+    * (src_url, f_status, f_ct, f_body, f_image_id, hops, f_err). */
+  def resolvedCorpus: DataFrame = config.bucketedCorpusTable
+    .map(spark.table).getOrElse(spark.read.parquet(corpusPath))
   def resolvedCorpusRobots: DataFrame = spark.read.parquet(corpusRobotsPath)
   def resolvedImages: DataFrame = spark.read.parquet(imagesPath)
 
@@ -310,12 +320,25 @@ final class CrawlEngine(
     }
   }
 
-  def runCycle(cycle: Long): (Snapshot, Long, Long) = {
+  import CrawlEngine.WaveOut
+
+  /**
+   * One drain → robots → fetch → parse → enqueue wave (SURVEY §3.4 steps
+   * 1-8) as pure transforms over the IN-MEMORY frontier/robots state,
+   * without committing: runGroup chains `wavesPerCommit` of these through
+   * their cached outputs and commits once, so the snapshot write (the
+   * dominant fixed cost at small wave sizes) amortizes over K waves while
+   * crawl semantics stay wave-per-cycle identical.
+   *
+   * @param pruneSnap the committed snapshot whose manifest may prune the
+   *   dedup-confirm read — only valid for the FIRST wave after a commit;
+   *   later waves' frontiers exist only in memory, so they prune with a
+   *   bucket predicate on the cached frontier instead (same O(candidate
+   *   buckets) work against the in-memory columnar batches).
+   */
+  private def runWave(pruneSnap: Option[Snapshot], frontier: DataFrame,
+      robots: DataFrame, cycle: Long): WaveOut = {
     val tPlan0 = System.nanoTime()
-    val prev = snap.latest.getOrElse(sys.error("engine not initialized"))
-    requireBucketCompat(prev)
-    val frontier = loadFrontier(prev).persist(StorageLevel.MEMORY_AND_DISK)
-    val robots = loadRobots(prev)
 
     // ---- 1. DRAIN candidates (O1): window top-k per host ----------------
     val drainable = frontier.filter(drainablePredicate(cycle))
@@ -389,9 +412,12 @@ final class CrawlEngine(
     // left-preserved tiny side, even on cycles with zero pending robots
     val corpusRobots = resolvedCorpusRobots
     val robotsHits = corpusRobots.join(broadcast(robotsFetch), Seq("src_url"), "inner")
+    // the semi probe broadcasts the SAME relation as the hits join (not a
+    // url-only projection) so the physical plan reuses one
+    // BroadcastExchange instead of building two
     val robotsMisses = robotsFetch.join(
         broadcast(corpusRobots.select($"src_url")
-          .join(broadcast(robotsFetch.select($"src_url")), Seq("src_url"), "left_semi")),
+          .join(broadcast(robotsFetch), Seq("src_url"), "left_semi")),
         Seq("src_url"), "left_anti")
       .withColumn("f_status", lit(null).cast("int"))
       .withColumn("f_err", lit(null).cast("string"))
@@ -435,16 +461,30 @@ final class CrawlEngine(
     // never shuffle); a mega-wave too big for a driver-built broadcast
     // relation shuffle-hash-joins by url instead — one distributed shuffle
     // of the claimed wave's pages, no O(batch) single-threaded driver work
+    // three strategies, picked by batch estimate + corpus layout:
+    //  - bounded batch: broadcast the claimed keys into the corpus scan;
+    //  - mega-wave over a url-BUCKETED corpus table: CO-LOCATED join — the
+    //    planner reads the corpus bucket-aligned with zero Exchange on the
+    //    corpus side and shuffles only the (narrow) claimed batch into the
+    //    corpus' bucketing, so pixel/body bytes never shuffle at ANY size;
+    //  - mega-wave over the plain parquet stand-in: shuffle-hash by url.
+    val coLocated = config.bucketedCorpusTable.nonEmpty
     val hits =
-      if (bigBatch) corpus.join(claimed.hint("shuffle_hash"), Seq("url"), "inner")
+      if (bigBatch && coLocated) corpus.join(claimed, Seq("url"), "inner")
+      else if (bigBatch) corpus.join(claimed.hint("shuffle_hash"), Seq("url"), "inner")
       else corpus.join(broadcast(claimed), Seq("url"), "inner")
     // urls claimed but absent from the corpus => connection error; the semi/
     // anti joins read only the corpus url column (pruned scan, no bodies)
-    val misses = (if (bigBatch)
+    val misses = (if (bigBatch && coLocated)
+      claimed.join(corpus.select($"url"), Seq("url"), "left_anti")
+    else if (bigBatch)
       claimed.join(corpus.select($"url").hint("shuffle_hash"), Seq("url"), "left_anti")
     else {
+      // broadcasting `claimed` (not a url-only projection) makes this semi
+      // probe's BroadcastExchange identical to the hits join's — reused,
+      // not rebuilt; the extra columns are slim (no bodies)
       val present = corpus.select($"url")
-        .join(broadcast(claimed.select($"url")), Seq("url"), "left_semi")
+        .join(broadcast(claimed), Seq("url"), "left_semi")
       claimed.join(broadcast(present), Seq("url"), "left_anti")
     })
       .withColumn("f_status", lit(null).cast("int"))
@@ -521,7 +561,7 @@ final class CrawlEngine(
     // instead of silently vanishing from the output; the id-only semi join
     // is a pruned scan (no pixel bytes read)
     val presentImages = resolvedImages.select($"image_id")
-      .join(broadcast(okImages.select($"image_id")), Seq("image_id"), "left_semi")
+      .join(broadcast(okImages), Seq("image_id"), "left_semi") // same exchange as matchedImages' — reused
     val danglingImages = okImages
       .join(broadcast(presentImages), Seq("image_id"), "left_anti")
       .select($"image_id", lit(null).cast("int").as("w"),
@@ -575,13 +615,20 @@ final class CrawlEngine(
         // partition pruning on the seen side: a url's frontier row can only
         // live in bucket(host(url)), so the exact confirm join reads ONLY
         // the candidate urls' bucket directories of the frontier snapshot —
-        // O(candidate buckets) IO per cycle, not O(frontier)
+        // O(candidate buckets) IO per cycle, not O(frontier). Waves past
+        // the first in a commit group have no snapshot of their chained
+        // frontier to prune (it exists only in memory), so they prune with
+        // the equivalent bucket predicate over the cached frontier.
         val seenSide =
           if (candBuckets.isEmpty) frontier.select("url").where(lit(false))
           else if (candBuckets.size * 2 <= config.numBuckets)
-            snap.readTableBuckets(prev, "frontier", candBuckets)
-              .map(_.select("url"))
-              .getOrElse(frontier.select("url").where(lit(false)))
+            pruneSnap match {
+              case Some(p) => snap.readTableBuckets(p, "frontier", candBuckets)
+                .map(_.select("url"))
+                .getOrElse(frontier.select("url").where(lit(false)))
+              case None => frontier
+                .filter($"bucket".isin(candBuckets.toSeq: _*)).select("url")
+            }
           else frontier.select("url") // most buckets touched: cached full scan wins
         val confirmed = maybe.join(seenSide, Seq("url"), "left_anti")
         (n, definitelyNew.unionByName(confirmed))
@@ -613,17 +660,30 @@ final class CrawlEngine(
       (if (df.columns.contains("v1")) $"v1" else lit(0L)).cast("long").as("v1"),
       (if (df.columns.contains("v2")) $"v2" else lit(0L)).cast("long").as("v2"),
       (if (df.columns.contains("v3")) $"v3" else lit(0L)).cast("long").as("v3"),
-      (if (df.columns.contains("v4")) $"v4" else lit(0L)).cast("long").as("v4"))
+      (if (df.columns.contains("v4")) $"v4" else lit(0L)).cast("long").as("v4"),
+      (if (df.columns.contains("urls")) $"urls"
+       else typedlit(Seq.empty[String])).as("urls"))
+    // small waves ride the enqueued urls back on the stats collect (bounded
+    // by linksCount — ≤ ~5 MB) so the RECENT-sketch maintenance becomes
+    // driver-side puts instead of a separate distributed sketch-build job;
+    // big waves keep the distributed build (urls must not flood the driver)
+    val collectUrls = config.useBloom && recentMaster.nonEmpty &&
+      linksCount <= 50000
+    val newAgg =
+      if (collectUrls) newRows.groupBy($"bucket")
+        .agg(count(lit(1)).as("v1"), collect_list($"url").as("urls"))
+      else newRows.groupBy($"bucket").agg(count(lit(1)).as("v1"))
     val stats = tagged("out", outcomes.groupBy($"bucket").agg(
         count(lit(1)).as("v1"),
         sum(when($"outcome" === "OK", 1L).otherwise(0L)).as("v2"),
         sum(when($"outcome" === "ERROR", 1L).otherwise(0L)).as("v3"),
         sum(when($"outcome" === "RETRY", 1L).otherwise(0L)).as("v4")))
-      .unionByName(tagged("new", newRows.groupBy($"bucket").agg(count(lit(1)).as("v1"))))
+      .unionByName(tagged("new", newAgg))
       .unionByName(danglingDf.map(d => tagged("dangling", d.agg(count(lit(1)).as("v1"))))
         .getOrElse(spark.emptyDataFrame.select(lit("dangling").as("tag"),
           lit(-1).as("bucket"), lit(0L).as("v1"), lit(0L).as("v2"),
-          lit(0L).as("v3"), lit(0L).as("v4")).limit(0)))
+          lit(0L).as("v3"), lit(0L).as("v4"),
+          typedlit(Seq.empty[String]).as("urls")).limit(0)))
       .unionByName(tagged("robdef", robotsUnknown.agg(count(lit(1)).as("v1"))))
       // robnew per BUCKET: the bucket set drives the robots COW commit
       .unionByName(tagged("robnew",
@@ -656,18 +716,22 @@ final class CrawlEngine(
     // its amortized doubling rebuild.
     if (config.useBloom && enqueuedCount > 0 && recentMaster.nonEmpty)
       phaseTimed("bloom-merge") {
-        recentMaster.get.mergeIn(
+        if (collectUrls)
+          statsRows.withFilter(_.getString(0) == "new")
+            .foreach(_.getSeq[String](6).foreach(recentMaster.get.put))
+        else recentMaster.get.mergeIn(
           SeenSketch.build(newRows, "url", config.seenSketch, recentItems, 0.01))
         recentCount += enqueuedCount
         rebroadcastRecent()
       }
 
-    // ---- 9. COMMIT: frontier COW restricted to touched buckets ----------
+    // ---- 9. NEXT FRONTIER: status updates restricted to touched buckets -
     // The status-update join runs over ONLY the buckets drained or enqueued
-    // this cycle (drained rows' buckets are by construction inside
-    // `touched`), so per-cycle cost scales with the batch, not with a
-    // 10^10-row frontier; untouched bucket files carry forward in the
-    // manifest without being read or rewritten.
+    // this wave (drained rows' buckets are by construction inside
+    // `touched`), so per-wave cost scales with the batch, not with a
+    // 10^10-row frontier; untouched buckets pass through as an untouched
+    // cached subtree and, at commit time, carry forward in the manifest
+    // without being read or rewritten.
     val updates = outcomes.select($"url",
       when($"outcome" === "OK", Status.Completed)
         .when($"outcome" === "ERROR", Status.WithError)
@@ -698,49 +762,146 @@ final class CrawlEngine(
           dedupCount, deferredRobots, deferredPolite, 0L))
       outBuckets.toSeq ++ onlyNew
     }
-    val lineage = spark.createDataset(lineageRows).toDF()
-
-    // robots is COW-committed by hostBucket exactly like the frontier: a
-    // robots-fetching cycle rewrites only the buckets that gained hosts,
-    // not the whole table (the r2 full-table rewrite was O(hosts) per
-    // frontier-expansion cycle). A pre-upgrade workdir holding robots as an
-    // unbucketed blob (key -1) is rebucketed in one full write: listing
-    // every bucket plus -1 as changed replaces the blob dir (no dir is
-    // written for -1, so the key just drops) with per-bucket dirs.
-    val robotsChanged: Set[Int] = if (robotsFetched == 0) Set.empty else {
-      val fresh = robnewStats.map(_.getInt(1)).toSet
-      val legacyBlob = prev.tables.get("robots").exists(_.contains(-1))
-      if (legacyBlob) (0 until config.numBuckets).toSet + (-1) else fresh
-    }
-    val s = phaseTimed("commit")(snap.commit(cycle,
-      cowTables = Map("frontier" -> ((frontierNext, "bucket", touched))) ++
-        (if (robotsChanged.nonEmpty)
-          Map("robots" -> ((robotsOut, "bucket", robotsChanged)))
-        else Map.empty),
-      // robots-only cycles (drained == 0) have structurally empty output;
-      // skipping the append avoids a full images-table scan against an
-      // empty batch when AQE isn't there to collapse it
-      appends = (if (drainedCount > 0) Map("output" -> outRows)
-        else Map.empty[String, DataFrame]) + ("lineage" -> lineage),
-      metrics = Map(
-        "cycle" -> cycle.toDouble,
-        "num_buckets" -> config.numBuckets.toDouble,
-        "drained" -> drainedCount.toDouble,
-        "enqueued" -> enqueuedCount.toDouble,
-        "deduped" -> dedupCount.toDouble,
-        "robots_fetched" -> robotsFetched.toDouble,
-        "deferred_robots" -> deferredRobots.toDouble,
-        "dangling_images" -> one("dangling").toDouble)))
-
-    phaseTimed("unpersist")((Seq(frontier, polite, withRobots, claimed, responded, ok, outcomes,
-      newRows, robotsNew, batchLinks)).foreach(_.unpersist()))
-    // O9 from this cycle's stats: work remains iff something was enqueued,
+    // O9 from this wave's stats: work remains iff something was enqueued,
     // deferred (robots/politeness) or re-enqueued for retry — saves the
     // final empty confirmation cycle (and its full plan/codegen cost)
     val retriedCount = outStats.map(_.getLong(5)).sum
     val pending = enqueuedCount + deferredRobots + deferredPolite + retriedCount
     expectedBatch = pending
-    (s, drainedCount + robotsFetched, pending)
+    WaveOut(
+      frontierNext = frontierNext,
+      robotsOut = if (robotsFetched == 0) robots else robotsOut,
+      outRows = if (drainedCount > 0) Some(outRows) else None,
+      lineageRows = lineageRows,
+      touched = touched,
+      robotsChanged = robnewStats.map(_.getInt(1)).toSet,
+      drained = drainedCount,
+      robotsFetched = robotsFetched,
+      enqueued = enqueuedCount,
+      deduped = dedupCount,
+      deferredRobots = deferredRobots,
+      deferredPolite = deferredPolite,
+      dangling = one("dangling"),
+      pending = pending,
+      caches = Seq(polite, withRobots, claimed, responded, ok, outcomes,
+        newRows, robotsNew, batchLinks))
+  }
+
+  def runCycle(cycle: Long): (Snapshot, Long, Long) = {
+    val (s, progressed, pending, _) = runGroup(cycle, 1)
+    (s, progressed, pending)
+  }
+
+  /**
+   * Run up to `maxWaves` waves (logical cycles `startCycle`,
+   * `startCycle+1`, …) chained through their in-memory frontiers, then
+   * commit ONE snapshot covering all of them. With wavesPerCommit = 1 this
+   * is exactly the r2 cycle loop; with K > 1 the commit (frontier COW
+   * write + manifest) and the frontier parquet re-read amortize over K
+   * waves — the dominant fixed costs at politeness-bounded wave sizes —
+   * while crawl semantics stay identical because each wave drains the
+   * previous wave's full in-memory frontier. Resume granularity becomes
+   * the group (a crash replays at most K waves — deterministic, so the
+   * final state is unchanged).
+   *
+   * Returns (snapshot, last wave's progress, last wave's pending, waves run).
+   */
+  def runGroup(startCycle: Long, maxWaves: Int): (Snapshot, Long, Long, Int) = {
+    val prev = snap.latest.getOrElse(sys.error("engine not initialized"))
+    requireBucketCompat(prev)
+    var frontier = loadFrontier(prev).persist(StorageLevel.MEMORY_AND_DISK)
+    var robots = loadRobots(prev)
+    // full next frontier: untouched buckets pass through, touched buckets
+    // replaced — what the next wave drains and what the commit COW-writes
+    // (the cow write filters to the group's touched buckets itself)
+    def fullNext(w: WaveOut): DataFrame = {
+      val untouched =
+        if (w.touched.isEmpty) frontier
+        else frontier.filter(!$"bucket".isin(w.touched.toSeq: _*))
+      untouched.unionByName(w.frontierNext)
+    }
+    // inputs of the PREVIOUS wave: releasable once the current wave's jobs
+    // have fully materialized the current inputs (the drain scans every
+    // partition, so after a wave runs, its input state is complete and the
+    // parents are no longer needed)
+    var releasable: Seq[DataFrame] = Nil
+    var outs = List.empty[WaveOut]
+    var waves = 0
+    var stop = false
+    while (waves < maxWaves && !stop) {
+      val w = runWave(if (waves == 0) Some(prev) else None,
+        frontier, robots, startCycle + waves)
+      outs = outs :+ w
+      waves += 1
+      if (w.drained + w.robotsFetched == 0 || w.pending == 0 ||
+        waves >= maxWaves) stop = true
+      else {
+        // chain into the next wave through a LOCAL CHECKPOINT, not a bare
+        // plan: the full-next plan references the previous frontier three
+        // times (untouched filter, update join, dedup), so K chained waves
+        // would grow the logical tree ~3^K — checkpointing truncates each
+        // wave's state to a leaf (one in-memory materialization, which the
+        // next wave's drain would have paid anyway). Blocks are reclaimed
+        // by the context cleaner once the group drops its references.
+        releasable.foreach(_.unpersist())
+        releasable = Seq(frontier) ++ (if (w.robotsOut ne robots) Seq(robots) else Nil)
+        frontier = fullNext(w).localCheckpoint(false)
+        robots =
+          if (w.robotsOut ne robots) w.robotsOut.localCheckpoint(false)
+          else robots
+      }
+    }
+    val last = outs.last
+    val endCycle = startCycle + waves - 1
+    val frontierCommit = fullNext(last)
+    val robotsCommit = last.robotsOut
+
+    val touchedAll = outs.iterator.flatMap(_.touched).toSet
+    // robots is COW-committed by hostBucket exactly like the frontier: a
+    // robots-fetching group rewrites only the buckets that gained hosts,
+    // not the whole table (the r2 full-table rewrite was O(hosts) per
+    // frontier-expansion cycle). A pre-upgrade workdir holding robots as an
+    // unbucketed blob (key -1) is rebucketed in one full write: listing
+    // every bucket plus -1 as changed replaces the blob dir (no dir is
+    // written for -1, so the key just drops) with per-bucket dirs.
+    val robotsChangedAll: Set[Int] = {
+      val fresh = outs.iterator.flatMap(_.robotsChanged).toSet
+      if (fresh.isEmpty) Set.empty
+      else if (prev.tables.get("robots").exists(_.contains(-1)))
+        (0 until config.numBuckets).toSet + (-1)
+      else fresh
+    }
+    // waves with drained == 0 have structurally empty output; skipping them
+    // avoids a full images-table scan against an empty batch
+    val outAppend = outs.flatMap(_.outRows).reduceOption(_ unionByName _)
+    val lineage = spark.createDataset(outs.flatMap(_.lineageRows)).toDF()
+
+    val s = phaseTimed("commit")(snap.commit(endCycle,
+      cowTables = Map("frontier" -> ((frontierCommit, "bucket", touchedAll))) ++
+        (if (robotsChangedAll.nonEmpty)
+          Map("robots" -> ((robotsCommit, "bucket", robotsChangedAll)))
+        else Map.empty),
+      appends = outAppend.map(o => Map("output" -> o))
+        .getOrElse(Map.empty[String, DataFrame]) + ("lineage" -> lineage),
+      metrics = Map(
+        "cycle" -> endCycle.toDouble,
+        "waves" -> waves.toDouble,
+        "num_buckets" -> config.numBuckets.toDouble,
+        "drained" -> outs.map(_.drained).sum.toDouble,
+        "enqueued" -> outs.map(_.enqueued).sum.toDouble,
+        "deduped" -> outs.map(_.deduped).sum.toDouble,
+        "robots_fetched" -> outs.map(_.robotsFetched).sum.toDouble,
+        "deferred_robots" -> last.deferredRobots.toDouble,
+        "dangling_images" -> outs.map(_.dangling).sum.toDouble)))
+
+    phaseTimed("unpersist") {
+      releasable.foreach(_.unpersist())
+      outs.foreach(_.caches.foreach(_.unpersist()))
+      frontier.unpersist()
+      robots.unpersist()
+      ()
+    }
+    (s, last.drained + last.robotsFetched, last.pending, waves)
   }
 
   /** Drive cycles until Finished (O9/O10); returns final snapshot. */
@@ -749,19 +910,22 @@ final class CrawlEngine(
     drive(maxCycles)
   }
 
-  /** Drive micro-cycles over an already-seeded frontier until Finished. */
+  /** Drive micro-cycles over an already-seeded frontier until Finished,
+    * committing every `config.wavesPerCommit` cycles (O10 batch loop). */
   def drive(maxCycles: Int = 1000): Snapshot = {
     var cycle = 1L
     var done = false
     var last = snap.latest.get
     while (!done && cycle <= maxCycles) {
       val t0 = System.nanoTime()
-      val (s, progressed, pending) = runCycle(cycle)
+      val maxWaves = math.max(1, math.min(config.wavesPerCommit.toLong,
+        maxCycles - cycle + 1).toInt)
+      val (s, progressed, pending, waves) = runGroup(cycle, maxWaves)
       if (sys.env.get("GRAFT_CYCLE_TIMING").contains("1"))
-        System.err.println(f"[cycle $cycle] ${(System.nanoTime() - t0) / 1e9}%.2fs progressed=$progressed pending=$pending")
+        System.err.println(f"[cycles $cycle..${cycle + waves - 1}] ${(System.nanoTime() - t0) / 1e9}%.2fs progressed=$progressed pending=$pending")
       last = s
       if (progressed == 0 || pending == 0) done = true
-      cycle += 1
+      cycle += waves
     }
     last
   }
@@ -787,10 +951,13 @@ final class CrawlEngine(
     var done = false
     var last = snap.latest.get
     while (!done && cycle <= start + maxCycles) {
-      val (s, progressed, pending) = runCycle(cycle)
+      // group-committing resume: same loop shape as drive()
+      val maxWaves = math.max(1, math.min(config.wavesPerCommit.toLong,
+        start + maxCycles - cycle + 1).toInt)
+      val (s, progressed, pending, waves) = runGroup(cycle, maxWaves)
       last = s
       if (progressed == 0 || pending == 0) done = true
-      cycle += 1
+      cycle += waves
     }
     last
   }
@@ -805,4 +972,24 @@ final class CrawlEngine(
       .getOrElse(spark.emptyDataset[LineageRow].toDF())
   /** visited = successfully completed page fetches (NodeTest.scala:77,89). */
   def visited: DataFrame = frontierNow.filter($"status" === Status.Completed)
+}
+
+object CrawlEngine {
+  /** Everything one wave hands the group commit (see runGroup). */
+  private final case class WaveOut(
+      frontierNext: DataFrame, // replacement rows for the touched buckets
+      robotsOut: DataFrame, // full next robots (same reference when nothing was fetched)
+      outRows: Option[DataFrame], // this wave's output append (None when drained == 0)
+      lineageRows: Seq[LineageRow],
+      touched: Set[Int],
+      robotsChanged: Set[Int], // robnew buckets (legacy-blob upgrade applied at commit)
+      drained: Long,
+      robotsFetched: Long,
+      enqueued: Long,
+      deduped: Long,
+      deferredRobots: Long,
+      deferredPolite: Long,
+      dangling: Long,
+      pending: Long,
+      caches: Seq[DataFrame]) // persisted intermediates released after the group commit
 }

@@ -27,6 +27,7 @@ object CrawlMain {
     val seeds = a.getOrElse("--seeds", "3").toInt
     val budget = a.getOrElse("--budget", "10").toInt
     val maxDepth = a.getOrElse("--max-depth", "4").toInt
+    val waves = a.getOrElse("--waves", "1").toInt
     val workdir = a.getOrElse("--workdir",
       s"/tmp/graft-crawl-$hosts-$pages-$seeds")
     val cores = a.getOrElse("--cores", "8")
@@ -37,13 +38,16 @@ object CrawlMain {
       .appName("graft-crawl")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("GRAFT_WSCG", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val spec = Corpus.WebSpec(hosts, pages)
-    val cfg = CrawlConfig(maxDepth = maxDepth, hostBudget = budget)
+    val cfg = CrawlConfig(maxDepth = maxDepth, hostBudget = budget,
+      wavesPerCommit = waves)
     val engine = new CrawlEngine(spark, cfg,
       Corpus.pages(spark, spec).toDF(), Corpus.images(spark, spec).toDF(), workdir)
 

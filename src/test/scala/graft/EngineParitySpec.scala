@@ -213,6 +213,21 @@ class EngineParitySpec extends AnyFunSuite {
     assert(o2.statuses("http://dl.test/gone")._1 === Status.WithError)
   }
 
+  test("wavesPerCommit=4: K waves per snapshot commit, identical crawl") {
+    // the group loop chains waves through in-memory frontiers and commits
+    // once per K — crawl semantics (statuses, depths, LAYERS: started still
+    // advances one logical cycle per wave) must be bit-identical to K=1
+    val cfg = CrawlConfig(maxDepth = 10, hostBudget = 5, wavesPerCommit = 4)
+    val (e, o) = runBoth(Fixtures.hotHost, Fixtures.hotHostSeeds, cfg)
+    assertParity(e, o)
+    // robots fixture too: deferral + robots COW inside a group
+    val (e2, o2) = runBoth(Fixtures.robotsBasic, Fixtures.robotsBasicSeeds,
+      CrawlConfig(wavesPerCommit = 3))
+    assertParity(e2, o2)
+    // fewer snapshots than cycles proves the commits actually grouped
+    assert(e.snap.latestVersion.get < e.snap.latest.get.cycle)
+  }
+
   test("resume from snapshot reproduces the identical final state") {
     val dir = Files.createTempDirectory("graft-resume").toString
     val pages = Fixtures.hotHost
