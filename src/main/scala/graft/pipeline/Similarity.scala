@@ -48,6 +48,31 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /**
+   * Compiled kernel for [[cosine]] — bit-identical doubles, JIT speed.
+   * Catalyst higher-order lambdas (`zip_with`/`aggregate`) are
+   * CodegenFallback: every element evaluates through the interpreter, and
+   * the ANN hot paths score 10^4-10^6 candidates × 64 elements per query
+   * batch (measured: the dominant cost of q46 at sf0.1 — same finding as
+   * the round-2 shingle kernels, PLANS.md "Codegen status"). The loops
+   * below replay [[dot]]/[[norm]]'s left-to-right fold order exactly —
+   * three separate index-order accumulations, then d / (√na · √nb) — so
+   * IEEE-754 doubles come out bit-for-bit equal to the Column form and the
+   * DuckDB oracles (q44/q45/q46) stay hash-exact. Pinned by a PipelineSpec
+   * equality test over every scored pair.
+   */
+  val cosineKernel: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((a: Seq[Double], b: Seq[Double]) => {
+      val n = math.min(a.length, b.length)
+      var d = 0.0; var i = 0
+      while (i < n) { d += a(i) * b(i); i += 1 }
+      var na = 0.0; i = 0
+      while (i < a.length) { na += a(i) * a(i); i += 1 }
+      var nb = 0.0; i = 0
+      while (i < b.length) { nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    })
+
+  /**
    * Exact top-k nearest neighbours by cosine for each query vector.
    * `queries(q_id, q_vec)` is broadcast; ties break on neighbour id.
    * Self-matches (same id) are excluded.
@@ -60,7 +85,7 @@ object Similarity {
       .select(col(idCol).as("neighbor"), asDouble(col(vecCol)).as("cv"))
       .join(broadcast(queries.select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("qv"))),
         col("neighbor") =!= col("q_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosineKernel(col("qv"), col("cv")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor"))))
@@ -170,14 +195,22 @@ object Similarity {
     c.join(q, Seq("tbl", "bucket"))
       .where(col("neighbor") =!= col("q_id"))
       // a pair can match in several tables/probes. Score FIRST, dedupe
-      // AFTER: the dedupe is a shuffle, and deduping before scoring ships
-      // both 64-dim double vectors per candidate row (~1 KB each) through
-      // it — re-scoring a duplicated pair costs 64 multiplies in place,
-      // while the post-score dedupe shuffles three scalars. (Exact: sim is
-      // a deterministic function of the pair, so duplicates agree.)
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      // AFTER: deduping before scoring would ship both 64-dim double
+      // vectors per candidate row (~1 KB each) through the shuffle, while
+      // the post-score dedupe shuffles three scalars (re-scoring a
+      // duplicate costs 64 multiplies in place; sim is a deterministic
+      // pair function, so duplicates agree bit-for-bit). The explicit
+      // repartition on q_id makes dedupe AND rank share ONE exchange:
+      // HashPartitioning(q_id) satisfies both the groupBy(q_id, neighbor)
+      // clustering (subset rule) and the window's partitionBy(q_id), so
+      // the plan is exchange → hash-agg → sort → window, not two separate
+      // shuffles — on the VM's fixed per-stage latency this is the
+      // difference between q46 at ~3.5 s and ~2 s, and at corpus scale it
+      // halves the candidate-stream shuffle volume.
+      .withColumn("sim", cosineKernel(col("qv"), col("cv")))
       .select(col("q_id"), col("neighbor"), col("sim"))
-      .dropDuplicates("q_id", "neighbor")
+      .repartition(col("q_id"))
+      .groupBy(col("q_id"), col("neighbor")).agg(max(col("sim")).as("sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor"))))
       .where(col("rank") <= k)
@@ -289,7 +322,7 @@ object Similarity {
       .select(col("q_id"), col("qv"), explode(col("_pr")).as("cell")))
     c.join(q, Seq("cell"))
       .where(col("neighbor") =!= col("q_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosineKernel(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor"))))
       .where(col("rank") <= k)
@@ -343,7 +376,7 @@ object Similarity {
       .where(col("cell").isin(probed.map(x => x: Any): _*))
     c.join(broadcast(q), Seq("cell"))
       .where(col("neighbor") =!= col("q_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosineKernel(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor"))))
       .where(col("rank") <= k)
@@ -568,7 +601,7 @@ object Similarity {
       val qv = broadcast(q0.select(col("q_id"), asDouble(col("_qv")).as("qv")))
       cv.join(broadcast(top), Seq("neighbor"))
         .join(qv, Seq("q_id"))
-        .withColumn("sim", cosine(col("qv"), col("cv")))
+        .withColumn("sim", cosineKernel(col("qv"), col("cv")))
         .withColumn("rank", row_number().over(
           Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor"))))
         .where(col("rank") <= k)

@@ -148,6 +148,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(out(2L) - 1.0) < 1e-12)
   }
 
+  test("cosineKernel is bit-identical to the Catalyst cosine fold") {
+    // the compiled kernel replaces the interpreted zip_with/aggregate fold
+    // in every ANN scoring path; the DuckDB oracles replay the Catalyst
+    // fold, so the kernel must produce the SAME IEEE-754 doubles — exact
+    // ==, not a tolerance
+    val vecs = vecsDf(80, 64)
+    val pairs = vecs.select($"vec_id", Similarity.asDouble($"embedding").as("a"))
+      .crossJoin(vecs.filter($"vec_id" < 5)
+        .select(Similarity.asDouble($"embedding").as("b")))
+    val diffs = pairs.select(
+        Similarity.cosine($"a", $"b").as("c"),
+        Similarity.cosineKernel($"a", $"b").as("k"))
+      .where($"c" =!= $"k").count()
+    assert(diffs === 0L, "kernel diverged from the Catalyst fold")
+  }
+
   test("bruteForceTopK: k results per query, ranked desc, no self-match") {
     val vecs = vecsDf(60, 16)
     val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
