@@ -310,12 +310,28 @@ final class CrawlEngine(
    * Run one micro-cycle; returns (snapshot, drainedCount). drained == 0 with
    * robots-deferral impossible ⇒ Finished.
    */
+  // Spark jobs launched so far (timing mode only): each job is a scheduler
+  // round-trip, the unit the per-cycle fixed-latency budget is spent in
+  private lazy val jobsSoFar: () => Long =
+    if (!sys.env.get("GRAFT_CYCLE_TIMING").contains("1")) () => 0L
+    else {
+      val c = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            c.incrementAndGet(); ()
+          }
+        })
+      () => c.get()
+    }
+
   private def phaseTimed[T](label: String)(f: => T): T = {
     if (!sys.env.get("GRAFT_CYCLE_TIMING").contains("1")) f
     else {
       val t0 = System.nanoTime()
+      val j0 = jobsSoFar()
       val r = f
-      System.err.println(f"  [phase $label] ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      System.err.println(f"  [phase $label] ${(System.nanoTime() - t0) / 1e9}%.2fs jobs=${jobsSoFar() - j0}")
       r
     }
   }
@@ -916,13 +932,17 @@ final class CrawlEngine(
     var cycle = 1L
     var done = false
     var last = snap.latest.get
+    val timing = sys.env.get("GRAFT_CYCLE_TIMING").contains("1")
     while (!done && cycle <= maxCycles) {
       val t0 = System.nanoTime()
+      val j0 = jobsSoFar()
       val maxWaves = math.max(1, math.min(config.wavesPerCommit.toLong,
         maxCycles - cycle + 1).toInt)
       val (s, progressed, pending, waves) = runGroup(cycle, maxWaves)
-      if (sys.env.get("GRAFT_CYCLE_TIMING").contains("1"))
-        System.err.println(f"[cycles $cycle..${cycle + waves - 1}] ${(System.nanoTime() - t0) / 1e9}%.2fs progressed=$progressed pending=$pending")
+      if (timing) {
+        val jobs = jobsSoFar() - j0
+        System.err.println(f"[cycles $cycle..${cycle + waves - 1}] ${(System.nanoTime() - t0) / 1e9}%.2fs progressed=$progressed pending=$pending jobs=$jobs (${jobs.toDouble / waves}%.1f/cycle)")
+      }
       last = s
       if (progressed == 0 || pending == 0) done = true
       cycle += waves
