@@ -346,6 +346,36 @@ object SparkEntry {
         corpus = e, idCol = "vec_id", vecCol = "embedding")
     }),
 
+    // Connected components over the near-dup pair graph — the step that
+    // turns pairwise dup evidence into canonical keep-one-per-cluster
+    // groups. Edges: exact-dup star edges (group-min → member, O(k) per
+    // group of size k, derived from the q40 content hash) ∪ chain edges
+    // (adjacent-id 2-gram Jaccard >= 0.5). Labels: iterated min-label
+    // propagation + pointer shortcutting (Dedup.connectedComponents). The
+    // DuckDB oracle recomputes the same edge set and closes it with a
+    // recursive CTE — every (doc_id, comp) must agree exactly.
+    "q52_dup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = docs.unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), upper(col("text")).as("text")))
+      val hashed = aug.select(col("doc_id"),
+        xxhash64(lit(0), Dedup.normalizeText(col("text"))).as("h0"),
+        xxhash64(lit(1), Dedup.normalizeText(col("text"))).as("h1"))
+      val ea = hashed
+        .select(min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("h0", "h1")).as("src"),
+          col("doc_id").as("dst"))
+        .where(col("src") =!= col("dst"))
+      val sh = docs.select(col("doc_id"), Dedup.shingleSetUdf(2)(col("text")).as("sh"))
+      val eb = sh.as("x").join(sh.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+        .where(Dedup.jaccard(col("x.sh"), col("y.sh")) >= 0.5)
+        .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+      Dedup.connectedComponents(aug.select("doc_id"), "doc_id",
+        ea.unionByName(eb), "src", "dst")
+        .select(col("id").as("doc_id"), col("comp"))
+    }),
+
     // Static replay of the stateful streaming dedup (flatMapGroupsWithState
     // first-seen filter): one "batch" over the augmented corpus must keep
     // exactly the min-id row per normalized-content group.
@@ -638,6 +668,39 @@ object SparkEntry {
          |  FROM (SELECT doc_id, ${toksOf("text")} AS tx FROM documents) x
          |  JOIN (SELECT doc_id, ${toksOf("text")} AS ty FROM documents) y
          |    ON y.doc_id = x.doc_id + 1)""".stripMargin
+    },
+
+    // Same edge set as the Spark side (exact-dup star edges on normalized
+    // text + adjacent-pair 2-gram Jaccard >= 0.5 chain edges), closed by a
+    // recursive CTE: reach enumerates every (node, reachable id) pair over
+    // the symmetrized edges; min per node = the component label.
+    "q52_dup_clusters" -> {
+      val sh2 = """CASE WHEN len(tx) < 2 THEN [array_to_string(tx, ' ')]
+                  |ELSE list_distinct(list_transform(range(1, len(tx)),
+                  |  i -> array_to_string(list_slice(tx, i, i + 1), ' '))) END""".stripMargin
+      s"""WITH RECURSIVE aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, upper(text) FROM documents WHERE doc_id % 5 = 0),
+         |norm AS (SELECT doc_id,
+         |  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n FROM aug),
+         |ea AS (SELECT src, dst FROM (
+         |  SELECT min(doc_id) OVER (PARTITION BY n) AS src, doc_id AS dst FROM norm)
+         |  WHERE src <> dst),
+         |sh AS (SELECT doc_id, $sh2 AS sx
+         |  FROM (SELECT doc_id, ${toksOf("text")} AS tx FROM documents)),
+         |eb AS (SELECT x.doc_id AS src, y.doc_id AS dst
+         |  FROM sh x JOIN sh y ON y.doc_id = x.doc_id + 1
+         |  WHERE len(list_intersect(x.sx, y.sx))::DOUBLE
+         |      / len(list_distinct(list_concat(x.sx, y.sx)))::DOUBLE >= 0.5),
+         |edges AS (
+         |  SELECT src, dst FROM ea UNION SELECT dst, src FROM ea
+         |  UNION SELECT src, dst FROM eb UNION SELECT dst, src FROM eb),
+         |reach(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM aug
+         |  UNION
+         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id""".stripMargin
     },
 
     "q44_embed_neardup" ->

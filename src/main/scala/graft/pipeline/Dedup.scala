@@ -312,4 +312,70 @@ object Dedup {
    */
   def ngramJaccard(textA: Column, textB: Column, n: Int): Column =
     round(jaccard(shingleSet(textA, n), shingleSet(textB, n)), 4)
+
+  /**
+   * Connected components over a near-dup pair graph: every node gets the
+   * MINIMUM reachable id as its component label — the step that turns
+   * pairwise dup evidence ([[minhashPairs]]/[[simhashPairs]]/
+   * [[hammingPairs]]) into canonical keep-one-per-cluster groups.
+   *
+   * Algorithm: iterated min-label propagation with pointer shortcutting.
+   * Each round every node takes min(own label, neighbours' labels) — one
+   * equi-join + map-side-combined groupBy on the (narrow) edge list — and
+   * then labels chase their own labels (`comp := comp(comp)`), which
+   * halves remaining path lengths like the classic pointer-doubling /
+   * small-star trick, so rounds are O(log diameter), not O(diameter).
+   * Convergence is detected by a monotone invariant: labels only ever
+   * decrease, so an unchanged sum(comp) is a fixpoint — one cheap
+   * aggregate per round, no row-wise diff join.
+   *
+   * Scale: state is (id, comp) — two longs per node; every round shuffles
+   * the edge list and the label table on their keys (never texts or
+   * vectors). Near-dup graphs have tiny components (diameter a few hops),
+   * so 3-5 rounds close real corpora; `maxIter` hard-bounds adversarial
+   * chains. Nodes absent from `edges` stay singletons (comp = own id).
+   */
+  def connectedComponents(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val spark = nodes.sparkSession
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // each round's plan references the previous labels 4x (neighbour join
+    // + least, then the shortcut self-join), so a bare chained plan grows
+    // ~4^rounds and OOMs Catalyst before the data is ever large —
+    // localCheckpoint truncates every round's lineage to a leaf
+    var labels = nodes.select(col(idCol).cast("long").as("id"),
+      col(idCol).cast("long").as("comp")).localCheckpoint()
+    // decimal sum: at 10^10 nodes x 10^10 ids a long sum overflows, and a
+    // wrapped sum could alias two different label states as "equal"
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      // neighbour min: one shuffle of (edge, label) longs
+      val nbMin = sym.join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("comp")).as("nmin"))
+      val stepped = labels.join(nbMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      // pointer shortcutting: comp := comp(comp) — labels are node ids, so
+      // self-join labels on comp = id and take the target's (smaller) comp
+      val next = stepped.alias("l")
+        .join(stepped.select(col("id").as("comp"), col("comp").as("cc")).alias("r"),
+          Seq("comp"), "left")
+        .select(col("id"), coalesce(col("cc"), col("comp")).as("comp"))
+        .localCheckpoint() // eager: blocks of dropped rounds are GC-reclaimed
+      val s = labelSum(next)
+      labels = next
+      done = s.compareTo(prevSum) == 0 // monotone non-increasing: equal sum = fixpoint
+      prevSum = s
+      it += 1
+    }
+    sym.unpersist()
+    labels
+  }
 }

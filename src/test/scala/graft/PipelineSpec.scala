@@ -126,6 +126,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L) === 0.3333) // {ab,bc} vs {bc,cd}: 1/3 rounded
   }
 
+  test("connectedComponents: chains, cliques, singletons; log-round convergence") {
+    def comps(nodes: Seq[Long], edges: Seq[(Long, Long)], maxIter: Int = 20) =
+      Dedup.connectedComponents(nodes.toDF("id"), "id",
+          edges.toDF("src", "dst"), "src", "dst", maxIter)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two components + a singleton
+    assert(comps(Seq(1L, 2L, 3L, 10L, 11L, 30L),
+      Seq((2L, 1L), (2L, 3L), (11L, 10L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 30L -> 30L))
+    // a 64-node path must close in O(log diameter) rounds — pointer
+    // shortcutting, not O(diameter) propagation: maxIter=10 << 63 hops
+    val path = (0L until 64L)
+    val got = comps(path, path.sliding(2).map(p => (p(0), p(1))).toSeq,
+      maxIter = 10)
+    assert(got === path.map(_ -> 0L).toMap)
+    // image tie-in: phash hamming pairs over duplicate payloads cluster to
+    // the smallest id (the canonical image per near-dup group)
+    val sigs = Seq((0L, 0xabcdL), (1L, 0xabcdL), (2L, 0xabccL), (9L, 0x1234L))
+      .toDF("id", "sig")
+    val pairs = Dedup.hammingPairs(sigs, "id", "sig", maxDist = 1)
+    val cl = Dedup.connectedComponents(sigs.select("id"), "id",
+        pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 9L -> 9L))
+  }
+
   // ---- similarity search ------------------------------------------------
 
   private def vecsDf(n: Int, dims: Int) = {
