@@ -167,11 +167,17 @@ final class CrawlEngine(
     * when configured (co-located fetch joins — no Exchange on the corpus
     * side at any batch size), else the redirect-resolved parquet built by
     * [[prepareCorpus]]. Schema either way:
-    * (src_url, f_status, f_ct, f_body, f_image_id, hops, f_err). */
-  def resolvedCorpus: DataFrame = config.bucketedCorpusTable
+    * (src_url, f_status, f_ct, f_body, f_image_id, hops, f_err).
+    *
+    * All three tables are immutable for the lifetime of the engine, so the
+    * DataFrames are memoized: a fresh `spark.read.parquet` per wave costs a
+    * driver-side directory listing + schema read each time — measurable in
+    * the per-wave plan-build budget, pure waste. `lazy` so construction
+    * still happens after [[prepareCorpus]] wrote the files. */
+  lazy val resolvedCorpus: DataFrame = config.bucketedCorpusTable
     .map(spark.table).getOrElse(spark.read.parquet(corpusPath))
-  def resolvedCorpusRobots: DataFrame = spark.read.parquet(corpusRobotsPath)
-  def resolvedImages: DataFrame = spark.read.parquet(imagesPath)
+  lazy val resolvedCorpusRobots: DataFrame = spark.read.parquet(corpusRobotsPath)
+  lazy val resolvedImages: DataFrame = spark.read.parquet(imagesPath)
 
   /** Seed injection (S1): depth-0 New rows, deduped (Master.scala:104-113).
     * `headers` (Request headers, Protocol.scala:33) ride the frontier rows;
@@ -435,9 +441,10 @@ final class CrawlEngine(
         broadcast(corpusRobots.select($"src_url")
           .join(broadcast(robotsFetch), Seq("src_url"), "left_semi")),
         Seq("src_url"), "left_anti")
-      .withColumn("f_status", lit(null).cast("int"))
-      .withColumn("f_err", lit(null).cast("string"))
-      .withColumn("f_body", lit(null).cast("string"))
+      .withColumns(Map( // one batched analysis: each withColumn re-analyzes the whole subtree
+        "f_status" -> lit(null).cast("int"),
+        "f_err" -> lit(null).cast("string"),
+        "f_body" -> lit(null).cast("string")))
     val robotsResp = robotsHits
       .select($"host", $"req_headers", $"f_status", $"f_err", $"f_body")
       .unionByName(robotsMisses
@@ -503,12 +510,13 @@ final class CrawlEngine(
         .join(broadcast(claimed), Seq("url"), "left_semi")
       claimed.join(broadcast(present), Seq("url"), "left_anti")
     })
-      .withColumn("f_status", lit(null).cast("int"))
-      .withColumn("f_ct", lit(null).cast("string"))
-      .withColumn("f_body", lit(null).cast("string"))
-      .withColumn("f_image_id", lit(null).cast("string"))
-      .withColumn("hops", lit(0))
-      .withColumn("f_err", lit(null).cast("string"))
+      .withColumns(Map( // one batched analysis (was 6 chained withColumn re-analyses)
+        "f_status" -> lit(null).cast("int"),
+        "f_ct" -> lit(null).cast("string"),
+        "f_body" -> lit(null).cast("string"),
+        "f_image_id" -> lit(null).cast("string"),
+        "hops" -> lit(0),
+        "f_err" -> lit(null).cast("string")))
     val fetched = hits.unionByName(misses)
 
     // ---- 5. RESPOND: the pluggable response-leg stage chain -------------
@@ -519,12 +527,13 @@ final class CrawlEngine(
     // Pipeline.scala:39-46); the Downloader's own error channel (connection
     // failures, Downloader.scala:44-48) is tagged before any stage runs.
     val preTagged = fetched
-      .withColumn("outcome",
-        when($"f_err".isNotNull || $"f_status".isNull || $"f_status" === -1,
-          lit("ERROR")).otherwise(lit(null).cast("string")))
-      .withColumn("reason",
-        when($"f_err".isNotNull, $"f_err")
-          .when($"f_status".isNull, lit(Reasons.connectionError)))
+      .withColumns(Map(
+        "outcome" ->
+          when($"f_err".isNotNull || $"f_status".isNull || $"f_status" === -1,
+            lit("ERROR")).otherwise(lit(null).cast("string")),
+        "reason" ->
+          when($"f_err".isNotNull, $"f_err")
+            .when($"f_status".isNull, lit(Reasons.connectionError))))
     val responseChain = config.responseStages.getOrElse(Seq(
       Stages.retryHttpError(config.retryCodes, config.maxRetries),
       Stages.filterHttpError(config.filterCodes),

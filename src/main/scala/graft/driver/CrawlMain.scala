@@ -27,6 +27,7 @@ object CrawlMain {
     val seeds = a.getOrElse("--seeds", "3").toInt
     val budget = a.getOrElse("--budget", "10").toInt
     val maxDepth = a.getOrElse("--max-depth", "4").toInt
+    val maxCycles = a.getOrElse("--max-cycles", "1000").toInt
     val waves = a.getOrElse("--waves", "1").toInt
     val workdir = a.getOrElse("--workdir",
       s"/tmp/graft-crawl-$hosts-$pages-$seeds")
@@ -63,7 +64,7 @@ object CrawlMain {
         println(s"""{"seeds_added":$added}""")
         engine.resume()
       } else if (resume) engine.resume()
-      else engine.run(Corpus.seeds(spec, seeds))
+      else engine.run(Corpus.seeds(spec, seeds), maxCycles)
     val secs = (System.nanoTime() - t0) / 1e9
 
     val statuses = engine.frontierNow.groupBy("status").count()
