@@ -246,6 +246,19 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // duplicate word-3-gram fraction (Gopher-style repetition filter);
+    // the corpus is augmented with synthetically degenerate docs (text
+    // repeated twice) so the score separates real from looped text
+    "q34_text_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val aug = docs.unionByName(
+        docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" "), col("text")).as("text")))
+      aug.select(col("doc_id"),
+        TextAnalysis.repetitionScore(col("text"), 3).as("rep3"))
+    }),
+
     "q40_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val aug = docs.unionByName(
@@ -590,6 +603,25 @@ object SparkEntry {
         |      c -> ascii(c)::BIGINT)),
         |  (a, b) -> (a * 131 + b) % 1000000007) AS fp
         |FROM documents""".stripMargin,
+
+    // duplicate 3-gram fraction: same tokenization + shingle mirror as q43,
+    // WITHOUT list_distinct for the denominator; short docs score 0.0
+    "q34_text_repetition" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text || ' ' || text FROM documents
+         |  WHERE doc_id % 7 = 0),
+         |grams AS (SELECT doc_id,
+         |  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |  ELSE list_transform(range(1, len(tk) - 1),
+         |    i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END AS g
+         |  FROM (SELECT doc_id, ${toksOf("text")} AS tk FROM aug))
+         |SELECT doc_id,
+         |  round(CASE WHEN len(g) <= 1 THEN 0.0
+         |    ELSE 1.0 - len(list_distinct(g))::DOUBLE / len(g)::DOUBLE END,
+         |    4) AS rep3
+         |FROM grams""".stripMargin,
 
     "q40_dedup_exact" ->
       """WITH aug AS (

@@ -101,4 +101,23 @@ object TextAnalysis {
     aggregate(chars, lit(7L),
       (acc, c) => pmod(acc * lit(131L) + ascii(c), lit(1000000007L)))
   }
+
+  /**
+   * Repetition score: the duplicate word-n-gram fraction,
+   * `1 - |distinct n-grams| / |n-grams|` — the standard boilerplate /
+   * degenerate-text signal a training-data pipeline thresholds on (the
+   * public Gopher/MassiveText filtering rules use exactly this family of
+   * duplicate-n-gram fractions). 0 = no repeated n-gram, → 1 as the text
+   * degenerates into loops. Docs shorter than n words score 0.0. Rounded
+   * to 4 decimals so an independent engine reproduces the division
+   * bit-for-bit at comparison precision. One pass, no shuffle; reuses
+   * [[Dedup.shingles]]/[[Dedup.shingleSet]] so the n-gram definition is
+   * THE SAME ONE the dedup family banded on.
+   */
+  def repetitionScore(text: Column, n: Int = 3): Column = {
+    val all = Dedup.shingles(text, n)
+    round(when(size(all) <= 1, lit(0.0))
+      .otherwise(lit(1.0) - size(Dedup.shingleSet(text, n)).cast("double") /
+        size(all).cast("double")), 4)
+  }
 }

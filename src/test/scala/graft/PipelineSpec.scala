@@ -58,6 +58,17 @@ class PipelineSpec extends AnyFunSuite {
       5L -> "und", 6L -> "zh"))
   }
 
+  test("repetitionScore: duplicate 3-gram fraction goldens") {
+    // "a b c a b c a b c": 7 grams, 3 distinct -> 1 - 3/7 = 0.5714
+    val out = docs(
+      (1L, "a b c a b c a b c"),
+      (2L, "all distinct words here truly"),
+      (3L, "x y z"), (4L, ""), (5L, "one two"))
+      .select($"doc_id", TextAnalysis.repetitionScore($"text", 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(1L -> 0.5714, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0, 5L -> 0.0))
+  }
+
   test("fingerprint: polynomial rolling hash, golden value + sensitivity") {
     // acc over "ab": ((7*131+97)%M)*131+98 = 132932
     val out = docs((1L, "ab"), (2L, "ba"), (3L, "ab"))
