@@ -256,7 +256,7 @@ object SparkEntry {
           .select((col("doc_id") + 200000).as("doc_id"),
             concat(col("text"), lit(" "), col("text")).as("text")))
       aug.select(col("doc_id"),
-        TextAnalysis.repetitionScore(col("text"), 3).as("rep3"))
+        TextAnalysis.repetitionScoreUdf(3)(col("text")).as("rep3"))
     }),
 
     "q40_dedup_exact" -> ((s, dir) => {

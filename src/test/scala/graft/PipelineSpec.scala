@@ -67,6 +67,13 @@ class PipelineSpec extends AnyFunSuite {
       .select($"doc_id", TextAnalysis.repetitionScore($"text", 3).as("r"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(out === Map(1L -> 0.5714, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0, 5L -> 0.0))
+    // the compiled kernel must equal the Column form EXACTLY (same docs)
+    val both = docs((1L, "a b c a b c a b c d e f a"), (2L, "p q r"), (3L, ""),
+      (4L, "loop loop loop loop loop loop loop"))
+      .select(TextAnalysis.repetitionScore($"text", 3).as("c"),
+        TextAnalysis.repetitionScoreUdf(3)($"text").as("k"))
+      .where($"c" =!= $"k").count()
+    assert(both === 0L, "repetition kernel diverged from the Column form")
   }
 
   test("fingerprint: polynomial rolling hash, golden value + sensitivity") {
