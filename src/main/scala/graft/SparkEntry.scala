@@ -246,6 +246,21 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // deterministic content-hash holdout split: assign each doc to
+    // train/val/test by its rolling-hash fingerprint mod 100 — the
+    // standard leakage-safe split for training data (content-keyed, so
+    // exact duplicates land in the SAME split regardless of id or order;
+    // pair with q40/q52 to keep near-dup clusters out of eval). Pure
+    // codegen'd projection + one count aggregate, no shuffle of payloads.
+    "q35_hash_split" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(TextAnalysis.fingerprint(col("text")), lit(100L)).as("slot"))
+        .select(col("doc_id"),
+          when(col("slot") < 90, "train")
+            .when(col("slot") < 95, "val")
+            .otherwise("test").as("split"))),
+
     // duplicate word-3-gram fraction (Gopher-style repetition filter);
     // the corpus is augmented with synthetically degenerate docs (text
     // repeated twice) so the score separates real from looped text
@@ -603,6 +618,18 @@ object SparkEntry {
         |      c -> ascii(c)::BIGINT)),
         |  (a, b) -> (a * 131 + b) % 1000000007) AS fp
         |FROM documents""".stripMargin,
+
+    // same rolling-hash mirror as q33, bucketed into split names
+    "q35_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN slot < 90 THEN 'train'
+        |       WHEN slot < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, list_reduce(
+        |  list_concat([7::BIGINT],
+        |    list_transform(list_filter(string_split(text, ''), c -> len(c) > 0),
+        |      c -> ascii(c)::BIGINT)),
+        |  (a, b) -> (a * 131 + b) % 1000000007) % 100 AS slot
+        |FROM documents)""".stripMargin,
 
     // duplicate 3-gram fraction: same tokenization + shingle mirror as q43,
     // WITHOUT list_distinct for the denominator; short docs score 0.0
