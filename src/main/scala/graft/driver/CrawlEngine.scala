@@ -322,10 +322,19 @@ final class CrawlEngine(
     if (!sys.env.get("GRAFT_CYCLE_TIMING").contains("1")) () => 0L
     else {
       val c = new java.util.concurrent.atomic.AtomicLong
+      val logJobs = sys.env.get("GRAFT_JOB_LOG").contains("1")
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-            c.incrementAndGet(); ()
+            c.incrementAndGet()
+            if (logJobs) {
+              val props = Option(j.properties)
+              def p(k: String) = props.map(_.getProperty(k)).flatMap(Option(_))
+              val site = p("spark.job.description").orElse(p("callSite.short"))
+                .getOrElse(j.stageInfos.lastOption.map(_.name).getOrElse("?"))
+              System.err.println(s"    [job ${j.jobId}] ${site.take(140)}")
+            }
+            ()
           }
         })
       () => c.get()
