@@ -249,6 +249,28 @@ class EngineParitySpec extends AnyFunSuite {
     assert(got === oracle.statuses.map { case (u, (s, _)) => u -> s })
   }
 
+  test("resume mid-crawl with wavesPerCommit=3 reproduces the identical final state") {
+    // group-committed crawls resume at group granularity: a crash after any
+    // commit replays at most one (deterministic) group — the final state
+    // must equal the reference oracle regardless of where the cut fell
+    val dir = Files.createTempDirectory("graft-resume-w").toString
+    val pages = Fixtures.hotHost
+    val cfg = CrawlConfig(maxDepth = 10, hostBudget = 5, wavesPerCommit = 3)
+    val mkEngine = () => new CrawlEngine(spark, cfg,
+      spark.createDataset(pages).toDF(),
+      spark.emptyDataset[ImageRow].toDF(), dir)
+    val e1 = mkEngine()
+    e1.init(Fixtures.hotHostSeeds)
+    e1.runGroup(1L, 3) // one committed group (logical cycles 1..3), then "crash"
+    val e2 = mkEngine()
+    e2.resume()
+    val oracle = RefOracle.crawl(pages, Fixtures.hotHostSeeds, cfg)
+    val got = e2.frontierNow.select("url", "status").as[(String, String)]
+      .collect().toMap
+    assert(got.keySet === oracle.statuses.keySet)
+    assert(got === oracle.statuses.map { case (u, (s, _)) => u -> s })
+  }
+
   test("resume with a different numBuckets fails loudly (no silent O5 break)") {
     // bucket-keyed COW dirs + dedup pruning are only valid under the
     // numBuckets that keyed them (ADVICE r2): a mismatched resume used to
