@@ -46,6 +46,51 @@ object SparkEntry {
     engine.outputNow
   }
 
+  /**
+   * Build-if-absent cached IVF-PQ index over the sf dir's embeddings table
+   * (cells=16, m=8, ksub=16, iters=2). The index is deterministic, so it is
+   * shared by q51/q51_exact and reused across bench/verify invocations —
+   * the former per-invocation temp build both leaked /tmp dirs and timed
+   * index training inside the query. The cache key fingerprints the DATA
+   * (row count + xxhash over id+vector), so a regenerated sf dir can never
+   * serve a stale index; concurrent builders race benignly via
+   * build-to-temp + atomic rename.
+   */
+  private def ivfPqIndexCached(s: SparkSession, dir: String):
+      (String, Array[Array[Double]], Similarity.PqCodebooks) = {
+    val e = t(s, dir, "embeddings")
+    val fp = e.agg(count(lit(1)),
+      sum(xxhash64(col("vec_id"), col("embedding")).cast("decimal(38,0)"))).head()
+    val key = s"${fp.getLong(0)}-${fp.getDecimal(1).toBigInteger.toString(16)}"
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-ivfpq-c16m8k16i2-$key")
+    val meta = new java.io.File(base, "_META")
+    if (!meta.exists()) {
+      val tmp = Files.createTempDirectory("graft-ivfpq-build").toFile
+      val trained = Similarity.ivfPqWriteIndex(e, "vec_id", "embedding",
+        tmp.toString, cells = 16, m = 8, ksub = 16, iters = 2)
+      val oos = new java.io.ObjectOutputStream(
+        new java.io.FileOutputStream(new java.io.File(tmp, "_META")))
+      try oos.writeObject(trained) finally oos.close()
+      try Files.move(tmp.toPath, base.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        // another process won the build race — its identical index serves
+        deleteRec(tmp)
+      }
+    }
+    val ois = new java.io.ObjectInputStream(new java.io.FileInputStream(meta))
+    val (cents, books) = try ois.readObject()
+      .asInstanceOf[(Array[Array[Double]], Similarity.PqCodebooks)]
+    finally ois.close()
+    (base.toString, cents, books)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
+  }
+
   // ---- shared synthetic columns (crawl-domain ops exercised over the ----
   // ---- deterministic documents table: same UDF code paths as the engine) --
 
@@ -365,12 +410,26 @@ object SparkEntry {
     // PipelineSpec.
     "q51_ann_ivfpq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
-      val (cents, books) = Similarity.ivfPqWriteIndex(
-        e, "vec_id", "embedding", idx, cells = 16, m = 8, ksub = 16, iters = 2)
+      val (idx, cents, books) = ivfPqIndexCached(s, dir)
       Similarity.ivfPqTopK(s, idx, cents, books,
         e.filter(col("vec_id") < 20), "vec_id", "embedding",
         k = 5, nProbe = 6, rerank = 50,
+        corpus = e, idCol = "vec_id", vecCol = "embedding")
+    }),
+
+    // nProbe == cells probes EVERY inverted list and rerank >= any possible
+    // candidate count passes EVERY candidate to the exact re-rank, so the
+    // trained quantizer AND the PQ approximation both drop out of the
+    // observable result: this leg is provably the brute-force ranking
+    // (PipelineSpec asserts the identity) and the q45 DuckDB mirror replays
+    // it bit-exactly — a value oracle for the whole IVF-PQ probe → ADC →
+    // re-rank machinery, the same trick as q49_ann_ivf_exact.
+    "q51_ann_ivfpq_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (idx, cents, books) = ivfPqIndexCached(s, dir)
+      Similarity.ivfPqTopK(s, idx, cents, books,
+        e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nProbe = 16, rerank = 1 << 20,
         corpus = e, idCol = "vec_id", vecCol = "embedding")
     }),
 
@@ -772,6 +831,10 @@ object SparkEntry {
     // IVF with nProbe == cells IS brute force (every inverted list probed;
     // PipelineSpec asserts the identity), so the same mirror replays it.
     "q49_ann_ivf_exact" -> BruteForceTopKSql,
+
+    // IVF-PQ with nProbe == cells and rerank covering every candidate is
+    // the exact re-rank of the full corpus — also the brute-force ranking.
+    "q51_ann_ivfpq_exact" -> BruteForceTopKSql,
 
     // Full mirror of lshTopK(planes=8, dims=64, tables=4, probes=1):
     // splitmix64-derived hyperplanes (Similarity.planeComponent) rebuilt

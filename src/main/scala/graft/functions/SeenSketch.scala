@@ -80,6 +80,16 @@ final class ShardedSeen(val shards: Array[SeenSketch]) extends SeenSketch {
   override def mightContain(s: String): Boolean =
     shards(shardOf(s)).mightContain(s)
   override def put(s: String): Unit = shards(shardOf(s)).put(s)
+  /** Deletion routes to the owning shard, so a sharded CUCKOO sketch keeps
+    * the deletable property the single-filter form advertises (sharding is
+    * a size workaround, not a semantics change). Bloom children cannot
+    * delete — that's a caller error, not a silent no-op. */
+  def remove(s: String): Boolean = shards(shardOf(s)) match {
+    case c: CuckooSeen => c.remove(s)
+    case n: ShardedSeen => n.remove(s)
+    case other => throw new UnsupportedOperationException(
+      s"remove needs cuckoo-backed shards, found ${other.getClass.getSimpleName}")
+  }
   override def mergeIn(other: SeenSketch): Unit = other match {
     case o: ShardedSeen =>
       require(o.shards.length == shards.length,
@@ -133,10 +143,15 @@ object SeenSketch {
       fpp: Double): SeenSketch = kind match {
     case "bloom" => new BloomSeen(df.stat.bloomFilter(column, items, fpp))
     case "cuckoo" =>
-      val sc = df.sparkSession.sparkContext
-      val parts = df.select(column).na.drop()
+      val strings = df.select(column).na.drop()
         .select(org.apache.spark.sql.functions.col(column).cast("string"))
-        .as[String](Encoders.STRING)
+      // empty-source guard BEFORE the sketch build: the former approach
+      // (union a driver-built full-size empty filter into the RDD to keep
+      // treeReduce total) shipped a filter that is ~GiB near the MaxItems
+      // ceiling through task serialization purely for this case; a limit-1
+      // probe of the source costs one tiny job and the seed disappears
+      if (strings.isEmpty) create(kind, items, fpp)
+      else strings.as[String](Encoders.STRING)
         .rdd
         .mapPartitions { it =>
           if (it.isEmpty) Iterator.empty
@@ -146,9 +161,6 @@ object SeenSketch {
             Iterator.single(f)
           }
         }
-      // one empty seed sketch keeps treeReduce total (an empty frontier or
-      // all-empty partitions would otherwise throw on the empty RDD)
-      parts.union(sc.parallelize(Seq(create("cuckoo", items, fpp)), 1))
         .treeReduce((a, b) => { a.mergeIn(b); a })
     case k => throw new IllegalArgumentException(s"unknown seen-sketch kind: $k")
   }

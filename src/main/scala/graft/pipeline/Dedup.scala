@@ -376,6 +376,15 @@ object Dedup {
       it += 1
     }
     sym.unpersist()
+    // exhausting maxIter without a fixpoint means the labels are PARTIAL —
+    // returning them would silently mislabel any chain longer than the
+    // rounds covered (shortcutting gives ~2^maxIter hop reach, so a genuine
+    // exhaustion is an adversarial graph or a far-too-small maxIter): fail
+    // loudly instead of emitting wrong clusters
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(labels still changing); raise maxIter — with pointer shortcutting " +
+        s"$maxIter rounds cover component diameters up to ~2^$maxIter")
     labels
   }
 }

@@ -62,15 +62,20 @@ object Similarity {
    */
   val cosineKernel: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((a: Seq[Double], b: Seq[Double]) => {
-      val n = math.min(a.length, b.length)
-      var d = 0.0; var i = 0
-      while (i < n) { d += a(i) * b(i); i += 1 }
-      var na = 0.0; i = 0
-      while (i < a.length) { na += a(i) * a(i); i += 1 }
-      var nb = 0.0; i = 0
-      while (i < b.length) { nb += b(i) * b(i); i += 1 }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    })
+      // null semantics match the Column form exactly: zip_with over
+      // unequal-length arrays pads with null, so the fold yields null —
+      // the kernel must too (and on a null vector), not a number or an NPE
+      if (a == null || b == null || a.length != b.length) null
+      else {
+        var d = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); i += 1 }
+        var na = 0.0; i = 0
+        while (i < a.length) { na += a(i) * a(i); i += 1 }
+        var nb = 0.0; i = 0
+        while (i < b.length) { nb += b(i) * b(i); i += 1 }
+        java.lang.Double.valueOf(d / (math.sqrt(na) * math.sqrt(nb)))
+      }
+    }: java.lang.Double)
 
   /**
    * Exact top-k nearest neighbours by cosine for each query vector.
@@ -221,8 +226,44 @@ object Similarity {
   // ---- IVF (inverted-file) ANN -----------------------------------------
 
   /** Nearest `n` centroid ids for `v` by cosine (centroid norms
-    * precomputed in `norms`); deterministic tie-break on cell id. */
-  private def nearestCells(v: Seq[Float], cents: Array[Array[Double]],
+    * precomputed in `norms`); deterministic tie-break on cell id.
+    * Bounded selection, NOT a full sort: one pass over the cells with an
+    * insertion-sorted top-n buffer — O(cells·n) worst case with n = nProbe
+    * small, vs O(cells log cells) for the sort. At the 10^4-10^5 cells a
+    * 100 TB index wants, the full sort per vector dominates assignment;
+    * equality vs the sorted form is pinned in PipelineSpec. */
+  private[graft] def nearestCells(v: Seq[Float], cents: Array[Array[Double]],
+      norms: Array[Double], n: Int): Seq[Int] = {
+    val k = math.min(n, cents.length)
+    val topS = new Array[Double](k) // scores, best-first
+    val topI = new Array[Int](k)
+    var size = 0
+    var c = 0
+    while (c < cents.length) {
+      val row = cents(c)
+      var s = 0.0
+      var d = 0
+      val lim = math.min(v.length, row.length)
+      while (d < lim) { s += row(d) * v(d); d += 1 }
+      val score = if (norms(c) > 0) s / norms(c) else Double.MinValue
+      // candidates arrive in ascending cell id, so "insert after equal
+      // scores" reproduces the sort's (-score, id) order exactly
+      if (size < k || score > topS(size - 1)) {
+        var pos = if (size < k) size else k - 1
+        while (pos > 0 && topS(pos - 1) < score) {
+          topS(pos) = topS(pos - 1); topI(pos) = topI(pos - 1); pos -= 1
+        }
+        topS(pos) = score; topI(pos) = c
+        if (size < k) size += 1
+      }
+      c += 1
+    }
+    topI.take(size).toSeq
+  }
+
+  /** Reference full-sort form of [[nearestCells]] — kept ONLY as the
+    * equality pin for the bounded selection (PipelineSpec). */
+  private[graft] def nearestCellsSorted(v: Seq[Float], cents: Array[Array[Double]],
       norms: Array[Double], n: Int): Seq[Int] = {
     val scored = new Array[(Double, Int)](cents.length)
     var c = 0

@@ -208,6 +208,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(diffs === 0L, "kernel diverged from the Catalyst fold")
   }
 
+  test("cosineKernel null semantics match the Column form on malformed input") {
+    // unequal lengths and null vectors: zip_with pads with null so the
+    // Catalyst fold yields null — the kernel must agree, not NPE or return
+    // a min-length dot product
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)), // unequal lengths
+      (2L, null, Seq(1.0, 2.0)), // null left
+      (3L, Seq(1.0, 2.0), null), // null right
+      (4L, Seq(1.0, 2.0), Seq(2.0, 1.0))) // well-formed control
+      .toDF("id", "a", "b")
+    val rows = df.select($"id",
+        Similarity.cosine($"a", $"b").as("c"),
+        Similarity.cosineKernel($"a", $"b").as("k"))
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.isNullAt(2),
+        if (r.isNullAt(1) || r.isNullAt(2)) true else r.getDouble(1) == r.getDouble(2)))
+    rows.foreach { case (id, cNull, kNull, eq) =>
+      assert(cNull === kNull, s"id=$id: null-ness diverged (column=$cNull kernel=$kNull)")
+      assert(eq, s"id=$id: values diverged")
+    }
+    assert(rows.count(_._2) === 3, "ids 1-3 must be null on both forms")
+  }
+
+  test("nearestCells bounded selection equals the full-sort form") {
+    // the single-pass top-n buffer must reproduce the sortBy((-score, id))
+    // ranking exactly, ties included — exercised across cell counts, probe
+    // widths, and vectors engineered to collide on score (zero vectors hit
+    // the norms(c)=0 Double.MinValue tie path on every cell)
+    val dims = 16
+    for (cells <- Seq(1, 3, 16, 257); n <- Seq(1, 2, 5, cells, cells + 3)) {
+      val cents = Array.tabulate(cells, dims)((c, d) =>
+        (math.floorMod(ImageCodec.mix64(c.toLong * 31 + d), 2001) - 1000) / 1000.0)
+      // plant exact duplicate centroids so scores tie
+      if (cells >= 3) cents(cells - 1) = cents(0).clone()
+      val norms = cents.map(row => math.sqrt(row.map(x => x * x).sum))
+      for (seed <- 0 until 20) {
+        val v = Array.tabulate(dims)(d =>
+          if (seed == 0) 0.0f
+          else (math.floorMod(ImageCodec.mix64(seed.toLong * 977 + d), 201) - 100) / 100.0f).toSeq
+        val fast = Similarity.nearestCells(v, cents, norms, n)
+        val slow = Similarity.nearestCellsSorted(v, cents, norms, n)
+        assert(fast === slow, s"cells=$cells n=$n seed=$seed")
+      }
+    }
+  }
+
+  test("ivfPqTopK with nProbe=cells and full rerank reproduces brute force") {
+    // the q51_ann_ivfpq_exact oracle identity: probing every inverted list
+    // makes every corpus row a candidate, and a rerank bound above the
+    // candidate count passes them all to the exact re-score — the PQ
+    // approximation drops out and the output is the brute-force ranking
+    def topLists(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val cl = clusteredVecsDf(200, 64, 8)
+    val clq = cl.filter($"vec_id" < 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-exact").toString
+    val (cents, books) = Similarity.ivfPqWriteIndex(cl, "vec_id", "embedding",
+      dir, cells = 8, m = 8, ksub = 16, iters = 2)
+    val exact = Similarity.ivfPqTopK(spark, dir, cents, books,
+      clq, "vec_id", "embedding", k = 5, nProbe = 8, rerank = 1 << 20,
+      corpus = cl, idCol = "vec_id", vecCol = "embedding")
+    val brute = Similarity.bruteForceTopK(cl, "vec_id", "embedding",
+      clq, "vec_id", "embedding", k = 5)
+    assert(topLists(exact) === topLists(brute),
+      "nProbe=cells + full rerank must equal brute force bit-for-bit")
+  }
+
   test("bruteForceTopK: k results per query, ranked desc, no self-match") {
     val vecs = vecsDf(60, 16)
     val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
