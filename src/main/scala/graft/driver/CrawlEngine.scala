@@ -351,6 +351,52 @@ final class CrawlEngine(
     }
   }
 
+  /**
+   * The default fetcher — the corpus join. Join strategy by estimated batch
+   * size (bigBatch, computed at the robots gate): bounded batches broadcast
+   * into the corpus scan (bodies never shuffle); a mega-wave too big for a
+   * driver-built broadcast relation shuffle-hash-joins by url instead — one
+   * distributed shuffle of the claimed wave's pages, no O(batch)
+   * single-threaded driver work. Three strategies, picked by batch estimate
+   * + corpus layout:
+   *  - bounded batch: broadcast the claimed keys into the corpus scan;
+   *  - mega-wave over a url-BUCKETED corpus table: CO-LOCATED join — the
+   *    planner reads the corpus bucket-aligned with zero Exchange on the
+   *    corpus side and shuffles only the (narrow) claimed batch into the
+   *    corpus' bucketing, so pixel/body bytes never shuffle at ANY size;
+   *  - mega-wave over the plain parquet stand-in: shuffle-hash by url.
+   */
+  private def corpusFetch(claimed: DataFrame, bigBatch: Boolean): DataFrame = {
+    val corpus = resolvedCorpus.withColumnRenamed("src_url", "url")
+    val coLocated = config.bucketedCorpusTable.nonEmpty
+    val hits =
+      if (bigBatch && coLocated) corpus.join(claimed, Seq("url"), "inner")
+      else if (bigBatch) corpus.join(claimed.hint("shuffle_hash"), Seq("url"), "inner")
+      else corpus.join(broadcast(claimed), Seq("url"), "inner")
+    // urls claimed but absent from the corpus => connection error; the semi/
+    // anti joins read only the corpus url column (pruned scan, no bodies)
+    val misses = (if (bigBatch && coLocated)
+      claimed.join(corpus.select($"url"), Seq("url"), "left_anti")
+    else if (bigBatch)
+      claimed.join(corpus.select($"url").hint("shuffle_hash"), Seq("url"), "left_anti")
+    else {
+      // broadcasting `claimed` (not a url-only projection) makes this semi
+      // probe's BroadcastExchange identical to the hits join's — reused,
+      // not rebuilt; the extra columns are slim (no bodies)
+      val present = corpus.select($"url")
+        .join(broadcast(claimed), Seq("url"), "left_semi")
+      claimed.join(broadcast(present), Seq("url"), "left_anti")
+    })
+      .withColumns(Map( // one batched analysis (was 6 chained withColumn re-analyses)
+        "f_status" -> lit(null).cast("int"),
+        "f_ct" -> lit(null).cast("string"),
+        "f_body" -> lit(null).cast("string"),
+        "f_image_id" -> lit(null).cast("string"),
+        "hops" -> lit(0),
+        "f_err" -> lit(null).cast("string")))
+    hits.unionByName(misses)
+  }
+
   import CrawlEngine.WaveOut
 
   /**
@@ -487,47 +533,16 @@ final class CrawlEngine(
     // headers are a handful of entries.
     val claimed = allowed.select($"url", $"host", $"bucket", $"depth",
       $"prio", $"retries", $"headers").persist(StorageLevel.MEMORY_AND_DISK)
-    val corpus = resolvedCorpus.withColumnRenamed("src_url", "url")
-    // join strategy by estimated batch size (bigBatch, computed at the
-    // robots gate): bounded batches broadcast into the corpus scan (bodies
-    // never shuffle); a mega-wave too big for a driver-built broadcast
-    // relation shuffle-hash-joins by url instead — one distributed shuffle
-    // of the claimed wave's pages, no O(batch) single-threaded driver work
-    // three strategies, picked by batch estimate + corpus layout:
-    //  - bounded batch: broadcast the claimed keys into the corpus scan;
-    //  - mega-wave over a url-BUCKETED corpus table: CO-LOCATED join — the
-    //    planner reads the corpus bucket-aligned with zero Exchange on the
-    //    corpus side and shuffles only the (narrow) claimed batch into the
-    //    corpus' bucketing, so pixel/body bytes never shuffle at ANY size;
-    //  - mega-wave over the plain parquet stand-in: shuffle-hash by url.
-    val coLocated = config.bucketedCorpusTable.nonEmpty
-    val hits =
-      if (bigBatch && coLocated) corpus.join(claimed, Seq("url"), "inner")
-      else if (bigBatch) corpus.join(claimed.hint("shuffle_hash"), Seq("url"), "inner")
-      else corpus.join(broadcast(claimed), Seq("url"), "inner")
-    // urls claimed but absent from the corpus => connection error; the semi/
-    // anti joins read only the corpus url column (pruned scan, no bodies)
-    val misses = (if (bigBatch && coLocated)
-      claimed.join(corpus.select($"url"), Seq("url"), "left_anti")
-    else if (bigBatch)
-      claimed.join(corpus.select($"url").hint("shuffle_hash"), Seq("url"), "left_anti")
-    else {
-      // broadcasting `claimed` (not a url-only projection) makes this semi
-      // probe's BroadcastExchange identical to the hits join's — reused,
-      // not rebuilt; the extra columns are slim (no bodies)
-      val present = corpus.select($"url")
-        .join(broadcast(claimed), Seq("url"), "left_semi")
-      claimed.join(broadcast(present), Seq("url"), "left_anti")
-    })
-      .withColumns(Map( // one batched analysis (was 6 chained withColumn re-analyses)
-        "f_status" -> lit(null).cast("int"),
-        "f_ct" -> lit(null).cast("string"),
-        "f_body" -> lit(null).cast("string"),
-        "f_image_id" -> lit(null).cast("string"),
-        "hops" -> lit(0),
-        "f_err" -> lit(null).cast("string")))
-    val fetched = hits.unionByName(misses)
-
+    val fetched = config.fetcher match {
+      case Some(fetch) =>
+        // injected fetcher (S3 production seam, CrawlConfig.fetcher): the
+        // claimed batch goes in, wide fetch rows come out — the engine
+        // neither knows nor cares whether rows came from the corpus join
+        // or a live HTTP client; parity vs the default is pinned in
+        // EngineParitySpec ("fetcher seam")
+        fetch(claimed)
+      case None => corpusFetch(claimed, bigBatch)
+    }
     // ---- 5. RESPOND: the pluggable response-leg stage chain -------------
     // reference.conf:66-71 traversed right-to-left: RetryHttpError →
     // FilterHttpError → AjaxLinksTransform (RobotsFilter's response leg is

@@ -139,4 +139,19 @@ final case class CrawlConfig(
     defaultHeaders: Map[String, String] = Map.empty, // Request headers (Protocol.scala:33); per-seed overrides via initSeeds/addSeeds
     responseStages: Option[Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame]] = None,
     resultStages: Option[Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame]] = None,
-    extractInfo: Option[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = None)
+    extractInfo: Option[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = None,
+    /** S3's production seam — the reference's Downloader
+      * (reference Downloader.scala:30-49) as an injectable function. Input:
+      * the claimed batch `(url, host, bucket, depth, prio, retries,
+      * headers)` — politeness/robots-gated, bounded by hostBudget /
+      * globalBatchCap per cycle. Output contract: exactly one row per
+      * claimed url, the input columns preserved, plus
+      * `f_status:int` (null or -1 ⇒ connection error), `f_ct:string`,
+      * `f_body:string`, `f_image_id:string`, `hops:int`,
+      * `f_err:string` (non-null ⇒ pre-classified fetch error).
+      * `None` (default) fetches via the corpus join (3 batch-size-adaptive
+      * strategies — see CrawlEngine step 4); a real deployment injects an
+      * HTTP client here (e.g. `mapPartitions` with a connection pool inside
+      * the already host-grouped batch). Everything downstream — response
+      * stages, parse, dedup, outcomes — is fetcher-agnostic. */
+    fetcher: Option[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = None)

@@ -444,6 +444,46 @@ class EngineParitySpec extends AnyFunSuite {
     assert(visited === oracle.visited)
   }
 
+  test("fetcher seam: injected mock fetcher reproduces the corpus-join crawl byte-identically") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    // hits, resolved + over-limit redirects, and a genuine fetch MISS (a
+    // link to a url absent from the corpus ⇒ ConnectionError) all cross the
+    // seam; site3 keeps the image/PSNR output leg in play
+    val pages = Fixtures.site3 ++ Fixtures.redirects ++
+      Seq(Fixtures.page("http://ms.test/", "<a href=\"/missing\">x</a>"))
+    val seeds = Fixtures.site3Seeds ++ Fixtures.redirectsSeeds ++ Seq("http://ms.test/")
+    val (defEngine, oracle) = runBoth(pages, seeds)
+    // mock fetcher with the shape a real HTTP client has — a per-url lookup
+    // (driver map standing in for the connection pool), sharing NO plan
+    // with the default corpus join; a missing url yields a null struct ⇒
+    // null f_status ⇒ the engine's connection-error channel
+    val mockMap: Map[String, (Int, String, String, String, Int, String)] =
+      defEngine.resolvedCorpus.collect().map { r =>
+        r.getAs[String]("src_url") -> ((r.getAs[Int]("f_status"),
+          r.getAs[String]("f_ct"), r.getAs[String]("f_body"),
+          r.getAs[String]("f_image_id"), r.getAs[Int]("hops"),
+          r.getAs[String]("f_err")))
+      }.toMap
+    val mockFetcher: DataFrame => DataFrame = claimed => {
+      val look = udf((url: String) => mockMap.get(url))
+      claimed.withColumn("_f", look(col("url")))
+        .withColumns(Map(
+          "f_status" -> col("_f._1"), "f_ct" -> col("_f._2"),
+          "f_body" -> col("_f._3"), "f_image_id" -> col("_f._4"),
+          "hops" -> coalesce(col("_f._5"), lit(0)), "f_err" -> col("_f._6")))
+        .drop("_f")
+    }
+    val (injEngine, _) = runBoth(pages, seeds, CrawlConfig(fetcher = Some(mockFetcher)))
+    assertParity(injEngine, oracle)
+    // byte-identical final state vs the default fetch path
+    def dump(df: DataFrame) = df.toJSON.collect().sorted.toSeq
+    assert(dump(injEngine.frontierNow) === dump(defEngine.frontierNow),
+      "frontier must be identical across fetchers")
+    assert(dump(injEngine.outputNow) === dump(defEngine.outputNow),
+      "output table must be identical across fetchers")
+  }
+
   test("stale-retry — MasterTest.scala:128-138: stuck InProgress re-drained") {
     // inject an InProgress row older than staleCycles directly, then cycle
     val dir = Files.createTempDirectory("graft-stale").toString
