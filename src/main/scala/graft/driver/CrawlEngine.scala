@@ -35,7 +35,7 @@ final class CrawlEngine(
     val config: CrawlConfig,
     pages: DataFrame,
     images: DataFrame,
-    workDir: String,
+    val workDir: String,
     store: SnapshotStore = null) {
 
   import spark.implicits._
@@ -72,6 +72,20 @@ final class CrawlEngine(
   // Sketch kind per config.seenSketch: "bloom" (default) or "cuckoo"
   // (deletable — see functions/SeenSketch.scala); the two-level design is
   // sketch-agnostic and exactness-preserving for both.
+  // Hot-host salting state (north_rule "salted host-hash"; see
+  // CrawlConfig.hotHostSalts). `hotHosts` is the PERSISTED promotion set —
+  // bucket placement is a pure function of (host, url, hotHosts), loaded
+  // with each snapshot so COW dirs, the dedup prune, and resumed runs all
+  // compute identical placement. `bucketRowEst` tracks cumulative rows per
+  // bucket (seeds + enqueues — an upper bound on live rows, which is the
+  // right signal: COW write cost is proportional to total bucket size);
+  // detection only scans a bucket's hosts when its estimate crosses the
+  // threshold and re-scans on doubling, so promotion costs no extra jobs
+  // until a bucket is actually suspect.
+  private var hotHosts: Set[String] = Set.empty
+  private var hotLoadedVersion: Long = -1L
+  private val bucketRowEst = scala.collection.mutable.Map.empty[Int, Long]
+  private val lastHotCheck = scala.collection.mutable.Map.empty[Int, Long]
   private var mainBloom: Option[Broadcast[SeenSketch]] = None
   private var mainItems: Long = 0L
   private var recentMaster: Option[SeenSketch] = None
@@ -207,10 +221,12 @@ final class CrawlEngine(
       .withColumn("reason", lit(null).cast("string"))
       .withColumn("headers",
         typedlit(Option(headers).getOrElse(config.defaultHeaders)))
-      .withColumn("bucket", hostBucket($"host", config.numBuckets))
+      .withColumn("bucket", bucketCol($"host", $"url"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val perBucket = rows.groupBy($"bucket").agg(count(lit(1))).collect()
     val buckets = perBucket.map(_.getInt(0)).toSet
+    perBucket.foreach(r => bucketRowEst(r.getInt(0)) =
+      bucketRowEst.getOrElse(r.getInt(0), 0L) + r.getLong(1))
     seenCountEstimate = perBucket.map(_.getLong(1)).sum
     expectedBatch = seenCountEstimate
     snap.commit(cycle = 0,
@@ -228,7 +244,7 @@ final class CrawlEngine(
    * and replace COW dirs holding rows that now hash elsewhere. Every commit
    * records `num_buckets`; any reuse of committed state must match.
    */
-  private def requireBucketCompat(s: Snapshot): Unit =
+  private def requireBucketCompat(s: Snapshot): Unit = {
     s.metrics.get("num_buckets").foreach { nb =>
       require(nb.toInt == config.numBuckets,
         s"workdir state was committed with numBuckets=${nb.toInt} but " +
@@ -236,6 +252,17 @@ final class CrawlEngine(
           "dirs and dedup pruning would silently mismatch — resume with " +
           "the original numBuckets")
     }
+    // salted placement is keyed by hotHostSalts exactly like numBuckets:
+    // once any host has been promoted, resuming with a different salt
+    // count would re-derive buckets that no longer match the COW dirs
+    if (s.metrics.get("hot_hosts").exists(_ > 0))
+      s.metrics.get("hot_host_salts").foreach { k =>
+        require(k.toInt == config.hotHostSalts,
+          s"workdir state holds hot hosts salted with k=${k.toInt} but " +
+            s"config.hotHostSalts=${config.hotHostSalts}; resume with the " +
+            "original salt count")
+      }
+  }
 
   /**
    * Mid-crawl seed injection (S2 — the reference's remote AddTasks entry
@@ -261,14 +288,17 @@ final class CrawlEngine(
       .withColumn("reason", lit(null).cast("string"))
       .withColumn("headers",
         typedlit(Option(headers).getOrElse(config.defaultHeaders)))
-      .withColumn("bucket", hostBucket($"host", config.numBuckets))
+      .withColumn("bucket", bucketCol($"host", $"url"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val touched = rows.select("bucket").distinct().as[Int].collect().toSet
+    val perBucket = rows.groupBy($"bucket").agg(count(lit(1))).collect()
+    val touched = perBucket.map(_.getInt(0)).toSet
+    perBucket.foreach(r => bucketRowEst(r.getInt(0)) =
+      bucketRowEst.getOrElse(r.getInt(0), 0L) + r.getLong(1))
     val added = if (touched.isEmpty) 0L else {
       val next = frontier
         .filter($"bucket".isin(touched.toSeq: _*))
         .unionByName(rows.select(frontier.columns.map(col): _*))
-      val n = rows.count()
+      val n = perBucket.map(_.getLong(1)).sum
       snap.commit(prev.cycle,
         cowTables = Map("frontier" -> ((next, "bucket", touched))),
         metrics = Map("seeds_added" -> n.toDouble,
@@ -291,9 +321,28 @@ final class CrawlEngine(
     added
   }
 
-  def loadFrontier(s: Snapshot): DataFrame =
+  /** The frontier placement function: plain host bucket, or url-salted for
+    * promoted hot hosts — every site that assigns or re-derives a frontier
+    * row's bucket MUST go through this one definition. */
+  private def bucketCol(host: org.apache.spark.sql.Column,
+      url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    saltedHostBucket(host, url, config.numBuckets, config.hotHostSalts, hotHosts)
+
+  /** Load the persisted hot-host set for snapshot `s` (memoized per
+    * version) — MUST precede any bucket re-derivation against `s`. */
+  private def ensureHotHosts(s: Snapshot): Unit = {
+    if (config.hotHostSalts <= 1 || s.version == hotLoadedVersion) return
+    hotHosts = snap.readTable(s, "hothosts")
+      .map(_.select("host").as[String].collect().toSet)
+      .getOrElse(Set.empty)
+    hotLoadedVersion = s.version
+  }
+
+  def loadFrontier(s: Snapshot): DataFrame = {
+    ensureHotHosts(s)
     snap.readTable(s, "frontier").get
-      .withColumn("bucket", hostBucket($"host", config.numBuckets))
+      .withColumn("bucket", bucketCol($"host", $"url"))
+  }
 
   /** Robots state, bucketed by the SAME hostBucket as the frontier (the
     * bucket column is re-derived from host after load, like loadFrontier —
@@ -650,8 +699,11 @@ final class CrawlEngine(
     val (linksCount, preFiltered) =
       if (config.useBloom && seenCountEstimate > 0) {
         val mightContain = bloomContainsUdf(mainBloom.get, recentBloom.get)
+        // the prune must compute the SAME placement as the COW write —
+        // salted placement is still a pure per-url function, so each
+        // candidate url still maps to exactly one bucket dir
         val bucketOfUrl =
-          hostBucket(call_function("graft_host", $"url"), config.numBuckets)
+          bucketCol(call_function("graft_host", $"url"), $"url")
         val aggRow = phaseTimed("links")(batchLinks.agg(
           count(lit(1)),
           collect_set(when(mightContain($"url"), bucketOfUrl))).head())
@@ -685,7 +737,7 @@ final class CrawlEngine(
         batchLinks.join(frontier.select("url"), Seq("url"), "left_anti"))
     val newRows = preFiltered
       .withColumn("host", call_function("graft_host", $"url"))
-      .withColumn("bucket", hostBucket($"host", config.numBuckets))
+      .withColumn("bucket", bucketCol($"host", $"url"))
       .withColumn("prio", lit(cycle))
       .withColumn("status", lit(Status.New))
       .withColumn("started", lit(-1L))
@@ -836,6 +888,43 @@ final class CrawlEngine(
         newRows, robotsNew, batchLinks))
   }
 
+  /**
+   * Hot-host promotion (north_rule "salted host-hash"): scan suspect
+   * buckets — those whose cumulative row estimate crossed
+   * config.hotHostThreshold (re-scanned only on estimate doubling) — for
+   * hosts above the threshold, add them to the persisted hot set, and
+   * return the commit-ready frontier with placement RECOMPUTED under the
+   * new set plus the bucket dirs the promotion rewrites (the host's plain
+   * bucket, which loses its rows, and its k salted buckets, which gain
+   * them). Runs entirely inside the group commit, so placement changes are
+   * atomic with the snapshot: a crash either resumes pre-promotion (plain
+   * placement + old hot set) or post (salted placement + persisted set) —
+   * never a mix. Costs zero extra jobs until a bucket is actually suspect.
+   */
+  private def promoteHotHosts(frontier: DataFrame)
+      : (DataFrame, Set[Int], Option[DataFrame]) = {
+    if (config.hotHostSalts <= 1) return (frontier, Set.empty, None)
+    val th = config.hotHostThreshold
+    val suspects = bucketRowEst.collect {
+      case (b, est) if est > th &&
+        est >= 2 * lastHotCheck.getOrElse(b, (th + 1) / 2) => b
+    }.toSet
+    if (suspects.isEmpty) return (frontier, Set.empty, None)
+    suspects.foreach(b => lastHotCheck(b) = bucketRowEst(b))
+    val found = phaseTimed("hot-detect")(
+      frontier.filter($"bucket".isin(suspects.toSeq: _*))
+        .groupBy($"host").agg(count(lit(1)).as("c"))
+        .filter($"c" > th).select("host").as[String].collect().toSet)
+    val newlyHot = found -- hotHosts
+    if (newlyHot.isEmpty) return (frontier, Set.empty, None)
+    hotHosts ++= newlyHot
+    val rebucket = newlyHot.flatMap(h =>
+      saltedBucketsOf(h, config.numBuckets, config.hotHostSalts) +
+        plainBucketOf(h, config.numBuckets))
+    (frontier.withColumn("bucket", bucketCol($"host", $"url")),
+      rebucket, Some(hotHosts.toSeq.sorted.toDF("host")))
+  }
+
   def runCycle(cycle: Long): (Snapshot, Long, Long) = {
     val (s, progressed, pending, _) = runGroup(cycle, 1)
     (s, progressed, pending)
@@ -902,10 +991,15 @@ final class CrawlEngine(
     }
     val last = outs.last
     val endCycle = startCycle + waves - 1
-    val frontierCommit = fullNext(last)
     val robotsCommit = last.robotsOut
 
-    val touchedAll = outs.iterator.flatMap(_.touched).toSet
+    // per-bucket cumulative row estimates feed hot-host detection (the
+    // lineage rows already carry per-bucket enqueue counts — no extra job)
+    outs.foreach(_.lineageRows.foreach(lr =>
+      bucketRowEst(lr.bucket) = bucketRowEst.getOrElse(lr.bucket, 0L) + lr.enqueued))
+    val (frontierCommit, promoted, hotTable) = promoteHotHosts(fullNext(last))
+
+    val touchedAll = outs.iterator.flatMap(_.touched).toSet ++ promoted
     // robots is COW-committed by hostBucket exactly like the frontier: a
     // robots-fetching group rewrites only the buckets that gained hosts,
     // not the whole table (the r2 full-table rewrite was O(hosts) per
@@ -926,6 +1020,7 @@ final class CrawlEngine(
     val lineage = spark.createDataset(outs.flatMap(_.lineageRows)).toDF()
 
     val s = phaseTimed("commit")(snap.commit(endCycle,
+      fullTables = hotTable.map(t => Map("hothosts" -> t)).getOrElse(Map.empty),
       cowTables = Map("frontier" -> ((frontierCommit, "bucket", touchedAll))) ++
         (if (robotsChangedAll.nonEmpty)
           Map("robots" -> ((robotsCommit, "bucket", robotsChangedAll)))
@@ -936,12 +1031,15 @@ final class CrawlEngine(
         "cycle" -> endCycle.toDouble,
         "waves" -> waves.toDouble,
         "num_buckets" -> config.numBuckets.toDouble,
+        "hot_hosts" -> hotHosts.size.toDouble,
+        "hot_host_salts" -> config.hotHostSalts.toDouble,
         "drained" -> outs.map(_.drained).sum.toDouble,
         "enqueued" -> outs.map(_.enqueued).sum.toDouble,
         "deduped" -> outs.map(_.deduped).sum.toDouble,
         "robots_fetched" -> outs.map(_.robotsFetched).sum.toDouble,
         "deferred_robots" -> last.deferredRobots.toDouble,
         "dangling_images" -> outs.map(_.dangling).sum.toDouble)))
+    hotLoadedVersion = s.version // hotHosts is current for this snapshot
 
     phaseTimed("unpersist") {
       releasable.foreach(_.unpersist())
@@ -988,12 +1086,20 @@ final class CrawlEngine(
     prepareCorpus()
     require(snap.latest.nonEmpty, "nothing to resume")
     requireBucketCompat(snap.latest.get)
-    // rebuild the seen estimate (bloom sizing) and the next-batch estimate
-    // (join-strategy choice) in one pass over the frontier
-    val counts = loadFrontier(snap.latest.get)
-      .agg(count(lit(1)), count(when($"status" === Status.New, 1))).head()
-    seenCountEstimate = math.max(counts.getLong(0), 1L)
-    expectedBatch = counts.getLong(1)
+    // rebuild the seen estimate (bloom sizing), the next-batch estimate
+    // (join-strategy choice), and the per-bucket row estimates (hot-host
+    // detection cadence) in one pass over the frontier
+    val perBucket = loadFrontier(snap.latest.get)
+      .groupBy($"bucket")
+      .agg(count(lit(1)), count(when($"status" === Status.New, 1))).collect()
+    perBucket.foreach { r =>
+      bucketRowEst(r.getInt(0)) = r.getLong(1)
+      // suppress an immediate re-scan of buckets whose hosts are already
+      // classified (promoted or checked below threshold) at this size
+      lastHotCheck(r.getInt(0)) = r.getLong(1)
+    }
+    seenCountEstimate = math.max(perBucket.map(_.getLong(1)).sum, 1L)
+    expectedBatch = perBucket.map(_.getLong(2)).sum
   }
 
   /** Resume from the latest committed snapshot (exactness: SURVEY §7.2). */

@@ -71,7 +71,52 @@ object CrawlFunctions {
     udf((s: String) => s != null &&
       (main.value.mightContain(s) || recent.value.mightContain(s)))
 
-  /** salted host bucket — pmod(xxhash64(host), n); built-in, codegen'd. */
+  /** host bucket — pmod(xxhash64(host), n); built-in, codegen'd. Plain
+    * (unsalted) placement: one bucket per host. Hot-host skew is handled by
+    * [[saltedHostBucket]] — the engine switches a host to salted placement
+    * once its row count crosses CrawlConfig.hotHostThreshold. */
   def hostBucket(host: Column, n: Int): Column =
     pmod(xxhash64(host), lit(n.toLong)).cast("int")
+
+  /**
+   * Salted host bucket (north_rule: "salted host-hash — explicit skew
+   * handling for hot domains"): hosts in `hot` spread across `k` adjacent
+   * (mod n) buckets by a url-derived salt; everyone else keeps the plain
+   * placement. The result is a PURE function of (host, url, hot, n, k) —
+   * the dedup-confirm prune can still compute the exact single bucket a
+   * url's frontier row lives in, and COW placement stays reproducible at
+   * load. `hot` is bounded by totalRows/threshold (every member holds more
+   * than hotHostThreshold rows), so the literal set stays driver-small;
+   * Catalyst compiles large `isin` lists to an O(1) InSet probe.
+   */
+  def saltedHostBucket(host: Column, url: Column, n: Int, k: Int,
+      hot: Set[String]): Column =
+    if (hot.isEmpty || k <= 1) hostBucket(host, n)
+    else when(host.isin(hot.toSeq: _*),
+        pmod(xxhash64(host) + pmod(xxhash64(url), lit(k.toLong)), lit(n.toLong))
+          .cast("int"))
+      .otherwise(hostBucket(host, n))
+
+  /** The k bucket ids salted placement can assign to a hot host — the dirs
+    * a promotion must rewrite (mirrors [[saltedHostBucket]] exactly). */
+  def saltedBucketsOf(host: String, n: Int, k: Int): Set[Int] = {
+    val h = XxHash.hash64(host)
+    (0L until k.toLong).map(s => math.floorMod(h + s, n.toLong).toInt).toSet
+  }
+
+  /** Plain bucket id of a host on the driver (mirrors [[hostBucket]]). */
+  def plainBucketOf(host: String, n: Int): Int =
+    math.floorMod(XxHash.hash64(host), n.toLong).toInt
+}
+
+/** Driver-side xxHash64 matching Spark's `xxhash64(string)` exactly (seed
+  * 42, UTF-8 bytes) — needed wherever the driver must predict a Column
+  * hash (salted-bucket dir sets). Delegates to Spark's own implementation
+  * so the two can never drift. */
+object XxHash {
+  def hash64(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+  }
 }

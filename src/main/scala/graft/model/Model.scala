@@ -129,6 +129,19 @@ final case class CrawlConfig(
     staleCycles: Long = 1000L, // scrawl.master.retry-timeout, in cycles
     userAgent: String = "Mozilla/5.0 (X11; Linux x86_64) GraftBot/0.1",
     numBuckets: Int = 32,
+    /** Hot-host skew handling (north_rule "salted host-hash"): a host whose
+      * frontier rows exceed hotHostThreshold is promoted to SALTED placement
+      * — its rows spread across hotHostSalts adjacent (mod numBuckets)
+      * buckets by a url-derived salt — so one mega-domain cannot funnel its
+      * whole frontier through a single COW partition + per-bucket quota.
+      * Promotion happens at commit time (detection rides per-bucket row
+      * estimates, costing no extra jobs until a bucket crosses the
+      * threshold), rewrites the affected bucket dirs in the same atomic
+      * snapshot, and persists the hot set as a snapshot table so placement
+      * stays a pure function of (host, url, hot set) across resume.
+      * hotHostSalts <= 1 disables salting. */
+    hotHostSalts: Int = 8,
+    hotHostThreshold: Long = 1000000L,
     useBloom: Boolean = true,
     seenSketch: String = "bloom", // URL-seen sketch kind: "bloom" | "cuckoo" (deletable; functions/SeenSketch.scala)
     globalBatchCap: Int = Int.MaxValue, // per-cycle drain cap (reference pulls 25/manager, unbounded pulls/cycle)

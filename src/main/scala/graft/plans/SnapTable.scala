@@ -62,6 +62,61 @@ trait SnapshotStore {
  * `spark.read.format("iceberg")` / MERGE INTO — the engine only sees
  * DataFrames.
  */
+/** Shared manifest I/O: JSON snapshot descriptors + an atomically-moved
+  * LATEST pointer. Both the bundled [[SnapTable]] (parquet-dir data files)
+  * and [[CatalogSnapshotStore]] (Spark catalog tables) commit through this
+  * layer — it is the analogue of Iceberg's metadata-JSON + pointer swap. */
+private[plans] object Manifests {
+  def latestVersion(rootPath: Path): Option[Long] = {
+    val p = rootPath.resolve("LATEST")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p)).trim.toLong) else None
+  }
+
+  def read(rootPath: Path, version: Long): Snapshot = {
+    implicit val fmt: Formats = DefaultFormats
+    val js = JsonMethods.parse(new String(
+      Files.readAllBytes(rootPath.resolve(s"snapshots/v$version.json"))))
+    Snapshot(
+      (js \ "version").extract[Long],
+      (js \ "cycle").extract[Long],
+      (js \ "tables").extract[Map[String, Map[String, String]]]
+        .map { case (t, bs) => t -> bs.map { case (b, p) => b.toInt -> p } },
+      (js \ "appended").extract[Map[String, List[String]]],
+      (js \ "metrics").extract[Map[String, Double]])
+  }
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def write(rootPath: Path, s: Snapshot): Unit = {
+    val tablesJson = s.tables.map { case (t, bs) =>
+      jstr(t) + ":{" + bs.toSeq.sortBy(_._1).map { case (b, p) =>
+        jstr(b.toString) + ":" + jstr(p)
+      }.mkString(",") + "}"
+    }.mkString("{", ",", "}")
+    val appendedJson = s.appended.map { case (t, dirs) =>
+      jstr(t) + ":[" + dirs.map(jstr).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val metricsJson = s.metrics.map { case (k, v) =>
+      jstr(k) + ":" + (if (v.isNaN || v.isInfinite) "0" else v.toString)
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"version":${s.version},"cycle":${s.cycle},"parent":${s.version - 1},
+         |"tables":$tablesJson,"appended":$appendedJson,"metrics":$metricsJson}""".stripMargin
+    val mf = rootPath.resolve(s"snapshots/v${s.version}.json")
+    Files.write(mf, json.getBytes)
+    val tmp = rootPath.resolve("LATEST.tmp")
+    Files.write(tmp, s.version.toString.getBytes)
+    Files.move(tmp, rootPath.resolve("LATEST"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
 final class SnapTable(spark: SparkSession, root: String) extends SnapshotStore {
   private val rootPath: Path = Paths.get(root)
   Files.createDirectories(rootPath.resolve("snapshots"))
@@ -83,23 +138,9 @@ final class SnapTable(spark: SparkSession, root: String) extends SnapshotStore {
   /** table -> (bucket -> data dir) for bucketed tables; -1 = unbucketed blob */
   type TableState = Map[String, Map[Int, String]]
 
-  def latestVersion: Option[Long] = {
-    val p = rootPath.resolve("LATEST")
-    if (Files.exists(p)) Some(new String(Files.readAllBytes(p)).trim.toLong) else None
-  }
+  def latestVersion: Option[Long] = Manifests.latestVersion(rootPath)
 
-  def readSnapshot(version: Long): Snapshot = {
-    implicit val fmt: Formats = DefaultFormats
-    val js = JsonMethods.parse(new String(
-      Files.readAllBytes(rootPath.resolve(s"snapshots/v$version.json"))))
-    Snapshot(
-      (js \ "version").extract[Long],
-      (js \ "cycle").extract[Long],
-      (js \ "tables").extract[Map[String, Map[String, String]]]
-        .map { case (t, bs) => t -> bs.map { case (b, p) => b.toInt -> p } },
-      (js \ "appended").extract[Map[String, List[String]]],
-      (js \ "metrics").extract[Map[String, Double]])
-  }
+  def readSnapshot(version: Long): Snapshot = Manifests.read(rootPath, version)
 
   /** Read a bucketed state table at a snapshot: union of all bucket dirs. */
   def readTable(snap: Snapshot, table: String): Option[DataFrame] =
@@ -221,43 +262,12 @@ final class SnapTable(spark: SparkSession, root: String) extends SnapshotStore {
     }
 
     val snap = Snapshot(version, cycle, tables, appended, metrics)
-    writeManifest(snap)
+    Manifests.write(rootPath, snap)
     snap
   }
 
   private def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
     f.delete(): Unit
-  }
-
-  private def jstr(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
-
-  private def writeManifest(s: Snapshot): Unit = {
-    val tablesJson = s.tables.map { case (t, bs) =>
-      jstr(t) + ":{" + bs.toSeq.sortBy(_._1).map { case (b, p) =>
-        jstr(b.toString) + ":" + jstr(p)
-      }.mkString(",") + "}"
-    }.mkString("{", ",", "}")
-    val appendedJson = s.appended.map { case (t, dirs) =>
-      jstr(t) + ":[" + dirs.map(jstr).mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    val metricsJson = s.metrics.map { case (k, v) =>
-      jstr(k) + ":" + (if (v.isNaN || v.isInfinite) "0" else v.toString)
-    }.mkString("{", ",", "}")
-    val json =
-      s"""{"version":${s.version},"cycle":${s.cycle},"parent":${s.version - 1},
-         |"tables":$tablesJson,"appended":$appendedJson,"metrics":$metricsJson}""".stripMargin
-    val mf = rootPath.resolve(s"snapshots/v${s.version}.json")
-    Files.write(mf, json.getBytes)
-    val tmp = rootPath.resolve("LATEST.tmp")
-    Files.write(tmp, s.version.toString.getBytes)
-    Files.move(tmp, rootPath.resolve("LATEST"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 }

@@ -190,6 +190,67 @@ class EngineParitySpec extends AnyFunSuite {
     assert(lin > 0, "politeness deferral recorded in lineage")
   }
 
+  test("hot-host salting: promotion spreads the host across k buckets, crawl identical, resume exact") {
+    import graft.functions.CrawlFunctions.{saltedBucketsOf, plainBucketOf}
+    // hot.test: 40-page binary tree where every page ALSO links back to /p1
+    // — so dedup evidence keeps arriving AFTER the mid-crawl promotion and
+    // the salted-placement prune is exercised, not just the write path
+    val hot = (0 until 40).map { i =>
+      val kids = Seq(2 * i + 1, 2 * i + 2).filter(_ < 40).map(k => s"/p$k") :+ "/p1"
+      Fixtures.page(if (i == 0) "http://hot.test/" else s"http://hot.test/p$i",
+        "<html><body>" + kids.map(h => s"""<a href="$h">x</a>""").mkString +
+          "</body></html>")
+    }
+    val cold = (1 to 3).flatMap { hn =>
+      Seq(Fixtures.page(s"http://cold$hn.test/",
+        """<html><body><a href="/only">x</a></body></html>"""),
+        Fixtures.page(s"http://cold$hn.test/only", "<html><body></body></html>"))
+    }
+    val pages = hot ++ cold
+    val seeds = Fixtures.hotHostSeeds
+    val salted = CrawlConfig(maxDepth = 10, hostBudget = 5,
+      hotHostSalts = 4, hotHostThreshold = 12)
+    val (se, oracle) = runBoth(pages, seeds, salted)
+    assertParity(se, oracle)
+    // promotion happened and persisted in the snapshot's hot-host table
+    assert(se.snap.readTable(se.snap.latest.get, "hothosts")
+      .map(_.select("host").as[String].collect().toSet) === Some(Set("hot.test")),
+      "hot.test must be promoted and persisted")
+    // placement: hot rows spread across (a subset of) the k salted buckets,
+    // cold hosts stay plain
+    val hotBuckets = se.frontierNow.filter($"host" === "hot.test")
+      .select("bucket").distinct().as[Int].collect().toSet
+    assert(hotBuckets.subsetOf(saltedBucketsOf("hot.test", salted.numBuckets,
+      salted.hotHostSalts)), s"salted placement dirs: $hotBuckets")
+    assert(hotBuckets.size > 1, "hot host must span more than one bucket")
+    val coldBuckets = se.frontierNow.filter($"host" === "cold1.test")
+      .select("bucket").distinct().as[Int].collect().toSet
+    assert(coldBuckets === Set(plainBucketOf("cold1.test", salted.numBuckets)))
+    // balanced COW partitions: no salted bucket holds more than half the
+    // hot rows (40 rows over >=2 url-hash buckets)
+    val counts = se.frontierNow.filter($"host" === "hot.test")
+      .groupBy("bucket").count().as[(Int, Long)].collect().map(_._2)
+    assert(counts.max <= 25, s"skewed salted placement: ${counts.mkString(",")}")
+    // identical crawl vs unsalted placement (bucket column aside)
+    val (pe, _) = runBoth(pages, seeds, CrawlConfig(maxDepth = 10, hostBudget = 5))
+    def dump(e: CrawlEngine) =
+      e.frontierNow.drop("bucket").toJSON.collect().sorted.toSeq
+    assert(dump(se) === dump(pe), "salting must not change crawl semantics")
+    // resume over salted state is exact (placement reproducible from the
+    // persisted hot set): a fresh engine resumes to the identical frontier
+    val resumed = new CrawlEngine(spark, salted,
+      spark.createDataset(pages).toDF(),
+      spark.createDataset(Fixtures.imagesFor(pages)).toDF(), se.workDir)
+    resumed.resume()
+    assert(dump(resumed) === dump(se), "resume must reproduce the salted state")
+    // resuming with a DIFFERENT salt count must fail loudly, like numBuckets
+    val bad = new CrawlEngine(spark, salted.copy(hotHostSalts = 2),
+      spark.createDataset(pages).toDF(),
+      spark.createDataset(Fixtures.imagesFor(pages)).toDF(), se.workDir)
+    val err = intercept[IllegalArgumentException](bad.resume())
+    assert(err.getMessage.contains("hotHostSalts"))
+  }
+
   test("politeness flatMapGroups variant produces identical crawl") {
     val cfg = CrawlConfig(maxDepth = 10, hostBudget = 5, usePolitenessMapGroups = true)
     val (e, o) = runBoth(Fixtures.hotHost, Fixtures.hotHostSeeds, cfg)
@@ -482,6 +543,35 @@ class EngineParitySpec extends AnyFunSuite {
       "frontier must be identical across fetchers")
     assert(dump(injEngine.outputNow) === dump(defEngine.outputNow),
       "output table must be identical across fetchers")
+  }
+
+  test("CatalogSnapshotStore: catalog-table-backed crawl + resume parity") {
+    // the Iceberg-shaped store: per-bucket COW commits become dynamic
+    // partition overwrites of (snap_v, bucket) partitions on Spark catalog
+    // tables; the engine must crawl AND resume through it unchanged
+    import graft.plans.CatalogSnapshotStore
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val prefix = s"cat${System.nanoTime() % 1000000}"
+    val pages = Fixtures.site3
+    val pagesDf = spark.createDataset(pages).toDF()
+    val imagesDf = spark.createDataset(Fixtures.imagesFor(pages)).toDF()
+    val engine = new CrawlEngine(spark, CrawlConfig(), pagesDf, imagesDf, dir,
+      store = new CatalogSnapshotStore(spark, prefix, s"$dir/manifest"))
+    engine.run(Fixtures.site3Seeds)
+    assertParity(engine, RefOracle.crawl(pages, Fixtures.site3Seeds, CrawlConfig()))
+    // state genuinely lives in catalog tables, partitioned by (snap_v, bucket)
+    assert(spark.catalog.tableExists(s"${prefix}_frontier"))
+    assert(spark.catalog.tableExists(s"${prefix}_app_output"))
+    assert(spark.table(s"${prefix}_frontier").columns.contains("snap_v"))
+    // resume through a FRESH store instance over the same catalog + manifest
+    val engine2 = new CrawlEngine(spark, CrawlConfig(), pagesDf, imagesDf, dir,
+      store = new CatalogSnapshotStore(spark, prefix, s"$dir/manifest"))
+    engine2.resume()
+    def dump(df: org.apache.spark.sql.DataFrame) = df.toJSON.collect().sorted.toSeq
+    assert(dump(engine2.frontierNow) === dump(engine.frontierNow),
+      "catalog-store resume must reproduce the frontier")
+    assert(dump(engine2.outputNow) === dump(engine.outputNow),
+      "catalog-store resume must reproduce the output table")
   }
 
   test("stale-retry — MasterTest.scala:128-138: stuck InProgress re-drained") {
