@@ -535,7 +535,93 @@ object SparkEntry {
        |       + (x::HUGEINT // 4294967296) * ($c::HUGEINT % 4294967296)) % 4294967296) * 4294967296)
        |  ) % 18446744073709551616::HUGEINT)::UBIGINT""".stripMargin
 
+  /** Shared CTE prefix of the q47/q48 mirrors: per-doc synthetic image
+    * parameters, the java-31 string fold of "img-doc-<id>" and its
+    * splitmix64 finalizer (ImageCodec.seedOf — rebuilt with wrapping
+    * HUGEINT arithmetic like the q46 plane mirror), and the bx/by gradient
+    * bases. Everything downstream is exact integer/double replay of
+    * ImageCodec.raster/encode + Multimodal.decodeMeta. */
+  private def imageSeedCtes: String = {
+    val mulB = wrapMul("13787848793156543929") // 0xbf58476d1ce4e5b9
+    val mulC = wrapMul("10723151780598845931") // 0x94d049bb133111eb
+    s"""imgs AS (SELECT doc_id,
+       |    (16 + (doc_id % 16))::BIGINT AS w, (16 + (doc_id % 8))::BIGINT AS h,
+       |    (doc_id % 2 = 0) AS lossless FROM documents),
+       |s0 AS (SELECT doc_id, list_reduce(
+       |    list_concat([1125899906842597::HUGEINT],
+       |      list_transform(list_filter(string_split('img-doc-' || doc_id, ''), c -> len(c) > 0),
+       |        c -> ascii(c)::HUGEINT)),
+       |    (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)::UBIGINT AS hv FROM documents),
+       |sA AS (SELECT doc_id, ((hv::HUGEINT + 11400714819323198485::HUGEINT)
+       |    % 18446744073709551616::HUGEINT)::UBIGINT AS z FROM s0),
+       |sB0 AS (SELECT doc_id, xor(z, z >> 30) AS x FROM sA),
+       |sB AS (SELECT doc_id, $mulB AS z FROM sB0),
+       |sC0 AS (SELECT doc_id, xor(z, z >> 27) AS x FROM sB),
+       |sC AS (SELECT doc_id, $mulC AS z FROM sC0),
+       |sD AS (SELECT doc_id, xor(z, z >> 31) AS seed FROM sC),
+       |base AS (SELECT doc_id, seed, (seed & 255) % 97 AS bx,
+       |    ((seed >> 8) & 255) % 89 AS by FROM sD)""".stripMargin
+  }
+
+  /** Per-pixel texture hash: tex = mix64(seed ^ (sx<<32) ^ sy) & 7 over
+    * whatever (sx, sy) source-coordinate columns the caller's `pix` CTE
+    * carries, then the raw RGB gradient channels (ImageCodec.raster). */
+  private def imagePixelCtes: String = {
+    val mulB = wrapMul("13787848793156543929")
+    val mulC = wrapMul("10723151780598845931")
+    s"""p0 AS (SELECT *, ((xor(xor(seed, (sx::UBIGINT << 32)), sy::UBIGINT)::HUGEINT
+       |    + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT)::UBIGINT AS z FROM pix),
+       |pB0 AS (SELECT * EXCLUDE (z), xor(z, z >> 30) AS x FROM p0),
+       |pB AS (SELECT * EXCLUDE (x), $mulB AS z FROM pB0),
+       |pC0 AS (SELECT * EXCLUDE (z), xor(z, z >> 27) AS x FROM pB),
+       |pC AS (SELECT * EXCLUDE (x), $mulC AS z FROM pC0),
+       |tex AS (SELECT * EXCLUDE (z), (xor(z, z >> 31) & 7)::BIGINT AS t FROM pC),
+       |raw AS (SELECT * EXCLUDE (t),
+       |    ((bx + 2 * sx + sy + t) & 255)::BIGINT AS r0,
+       |    ((by + sx + 2 * sy + t) & 255)::BIGINT AS g0,
+       |    ((bx + by + sx + sy + 2 * t) & 255)::BIGINT AS b0 FROM tex)""".stripMargin
+  }
+
+  /** 64-bit average-hash mirror (ImageCodec.phashOf): per-cell luminance
+    * sums replayed in the Scala loop's (y, x) order via ordered
+    * list_reduce — bit-exact IEEE doubles — then the >= mean bit vote.
+    * Bit 63 is spelled as the min-long literal: DuckDB's BIGINT << errors
+    * on 1 << 63 instead of wrapping. Expects a `lum(doc_id, cell, yy, xx,
+    * l)` CTE from the caller. */
+  private val PhashCtes =
+    """cells AS (SELECT doc_id, cell,
+      |    list_reduce(list_concat([0.0::DOUBLE], list(l ORDER BY yy, xx)), (a, b) -> a + b)
+      |      / count(*) AS gv FROM lum GROUP BY doc_id, cell),
+      |m64 AS (SELECT doc_id,
+      |    list_reduce(list_concat([0.0::DOUBLE], list(gv ORDER BY cell)), (a, b) -> a + b)
+      |      / 64::DOUBLE AS mn FROM cells GROUP BY doc_id),
+      |ph AS (SELECT c.doc_id,
+      |    sum(CASE WHEN gv < mn THEN 0 WHEN cell = 63 THEN -9223372036854775808::HUGEINT
+      |        ELSE (1::BIGINT << cell)::HUGEINT END)::BIGINT AS img_phash
+      |  FROM cells c JOIN m64 USING (doc_id) GROUP BY c.doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // the flagship 3-page fixture crawl is deterministic end to end
+    // (engine semantics pinned by EngineParitySpec; captions/PSNR by the
+    // codec): its exact output rows are committed as a literal oracle —
+    // all three fixture images are lossless, so psnr is exactly 999.0
+    "entry" ->
+      """SELECT image_id, w::INTEGER AS w, h::INTEGER AS h, fmt, caption,
+        |  phash::BIGINT AS phash, src_url, depth::INTEGER AS depth,
+        |  cycle::BIGINT AS cycle, psnr::DOUBLE AS psnr, caption_ok
+        |FROM (VALUES
+        |  ('img-site3-root', 18, 16, 'png',
+        |   'a hollow orchard at dawn (#img-site3-root)', -284804100620288,
+        |   'http://host0.test/', 0, 2, 999.0, true),
+        |  ('img-site3-resource', 24, 19, 'png',
+        |   'a rusty lantern at dusk (#img-site3-resource)', -289201876598784,
+        |   'http://host0.test/resource', 1, 3, 999.0, true),
+        |  ('img-site3-stuff', 17, 16, 'png',
+        |   'a hollow canyon mid-winter (#img-site3-stuff)', -284803832217600,
+        |   'http://host0.test/stuff', 1, 3, 999.0, true)
+        |) AS t(image_id, w, h, fmt, caption, phash, src_url, depth, cycle,
+        |       psnr, caption_ok)""".stripMargin,
+
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -820,6 +906,49 @@ object SparkEntry {
          |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
          |SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id""".stripMargin
     },
+
+    // Full independent reimplementation of the deterministic image codec +
+    // decode features (ImageCodec.raster/encode → Multimodal.decodeMeta) in
+    // DuckDB SQL: seed fold, per-pixel splitmix64 texture, gradient
+    // channels, lossy quantization for odd ids, integer mean (rounded with
+    // the same floor(x+0.5) double ops), and the 8x8 average-hash with
+    // IEEE-exact ordered summation. Hash-exact on every row.
+    "q47_multimodal_decode" ->
+      s"""WITH $imageSeedCtes,
+         |pix AS (SELECT i.doc_id, i.w, i.h, i.lossless, b.seed, b.bx, b.by,
+         |    xx.range AS xx, yy.range AS yy, xx.range AS sx, yy.range AS sy
+         |  FROM imgs i JOIN base b USING (doc_id), range(0, 32) xx, range(0, 24) yy
+         |  WHERE xx.range < i.w AND yy.range < i.h),
+         |$imagePixelCtes,
+         |px AS (SELECT doc_id, w, h, xx, yy,
+         |    CASE WHEN lossless THEN r0 ELSE least((r0 // 4) * 4 + 2, 255) END AS r,
+         |    CASE WHEN lossless THEN g0 ELSE least((g0 // 4) * 4 + 2, 255) END AS g,
+         |    CASE WHEN lossless THEN b0 ELSE least((b0 // 4) * 4 + 2, 255) END AS b FROM raw),
+         |mean AS (SELECT doc_id,
+         |    floor((sum(r + g + b)::DOUBLE / (3 * max(w) * max(h))::DOUBLE)
+         |        * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS img_mean
+         |  FROM px GROUP BY doc_id),
+         |lum AS (SELECT doc_id, least(yy * 8 // h, 7) * 8 + least(xx * 8 // w, 7) AS cell,
+         |    yy, xx, 0.299::DOUBLE * r + 0.587::DOUBLE * g + 0.114::DOUBLE * b AS l FROM px),
+         |$PhashCtes
+         |SELECT i.doc_id, i.w::INTEGER AS img_w, i.h::INTEGER AS img_h,
+         |  (i.w * i.h * 3)::BIGINT AS img_px, m.img_mean, p.img_phash
+         |FROM imgs i JOIN mean m USING (doc_id) JOIN ph p USING (doc_id)""".stripMargin,
+
+    // Resize mirror: nearest-neighbour source coordinates (sx, sy) per 8x8
+    // target pixel, raster channels at the source (always lossless in q48),
+    // then the same average-hash replay over the resized grid.
+    "q48_multimodal_resize" ->
+      s"""WITH $imageSeedCtes,
+         |pix AS (SELECT i.doc_id, b.seed, b.bx, b.by, xx.range AS xx, yy.range AS yy,
+         |    (xx.range * i.w // 8) AS sx, (yy.range * i.h // 8) AS sy
+         |  FROM imgs i JOIN base b USING (doc_id), range(0, 8) xx, range(0, 8) yy),
+         |$imagePixelCtes,
+         |lum AS (SELECT doc_id, yy * 8 + xx AS cell, yy, xx,
+         |    0.299::DOUBLE * r0 + 0.587::DOUBLE * g0 + 0.114::DOUBLE * b0 AS l FROM raw),
+         |$PhashCtes
+         |SELECT doc_id, 8::INTEGER AS img_w, 8::INTEGER AS img_h,
+         |  192::BIGINT AS img_px, img_phash FROM ph""".stripMargin,
 
     "q44_embed_neardup" ->
       s"""SELECT vec_id, round($CosMirror, 6) AS sim
