@@ -348,6 +348,15 @@ object Bench {
     // the alignment and silently pair runs from different host windows
     var pairsWkHi = List.empty[(CrawlRun, CrawlRun)]
     var pairsLoHi = List.empty[(CrawlRun, CrawlRun)]
+    var pairsPl = List.empty[(CrawlRun, CrawlRun)]
+    def politeRound(): Unit = {
+      val lo = crawlBenchIsolated(nLo, politeHosts, politePages,
+        politeBudget, politeCycles, politeWaves)
+      val hi = crawlBenchIsolated(nHi, politeHosts, politePages,
+        politeBudget, politeCycles, politeWaves)
+      runsPlLo = runsPlLo ++ lo; runsPlHi = runsPlHi ++ hi
+      for (l <- lo; h <- hi) pairsPl = pairsPl :+ ((l, h))
+    }
     def trialRound(polite: Boolean): Unit = {
       val lo = crawlBenchIsolated(nLo, benchHosts, benchPages)
       val hi = crawlBenchIsolated(nHi, benchHosts, benchPages)
@@ -355,46 +364,75 @@ object Bench {
       runsLo = runsLo ++ lo; runsHi = runsHi ++ hi; runsWk = runsWk ++ wk
       for (h <- hi; w <- wk) pairsWkHi = pairsWkHi :+ ((w, h))
       for (h <- hi; l <- lo) pairsLoHi = pairsLoHi :+ ((l, h))
-      if (polite) {
-        runsPlLo = runsPlLo ++ crawlBenchIsolated(nLo, politeHosts, politePages,
-          politeBudget, politeCycles, politeWaves)
-        runsPlHi = runsPlHi ++ crawlBenchIsolated(nHi, politeHosts, politePages,
-          politeBudget, politeCycles, politeWaves)
-      }
+      if (polite) politeRound()
     }
     // CLEAN-WINDOW detection: this host time-shares its CPUs in storms
-    // that stretch arbitrary trials 2-4x (BASELINE.md §C). A same-trial
-    // pair is "clean" when BOTH its legs land within CleanSlack of that
-    // leg's observed minimum — i.e. neither leg was stormed. The paired
-    // estimators below use ONLY clean pairs; if the base trials yield
-    // fewer than MinCleanPairs of them, keep running extra trial rounds
-    // (bounded) until a qualifying tight window is captured, and record
-    // the regime in the JSON instead of silently reporting storm numbers.
+    // that stretch arbitrary trials 2-4x (BASELINE.md §C). Two storm
+    // signals, both disqualifying:
+    //  - WALL storms: a leg lands above CleanSlack x that leg's observed
+    //    minimum (relative — needs at least one clean reference trial);
+    //  - GC storms: a leg spends more than GcStormFrac of its EXECUTOR
+    //    task time in JVM GC (absolute — catches the round-3 failure mode
+    //    where EVERY trial of a leg ran 55 s of GC in a 72 s wall under
+    //    host memory pressure, so the wall-relative rule saw a
+    //    "consistent" leg and passed it). The denominator is task time,
+    //    not wall: gc_secs sums across concurrent task threads (a stop-
+    //    the-world pause bills every running task), so clean local[16]
+    //    legs sit at gc/wall ~0.25 while gc/task stays ~0.03 — calibrated
+    //    against every committed artifact: clean legs 0.016-0.028, the
+    //    round-3 driver storm 0.076; the 0.05 threshold splits them with
+    //    ~2x margin on both sides.
+    // A same-trial pair is "clean" when BOTH its legs pass both rules. The
+    // paired estimators below use ONLY clean pairs; if the base trials
+    // yield fewer than MinCleanPairs of them, keep running extra trial
+    // rounds (bounded) until a qualifying tight window is captured, and
+    // record the regime (clean_pairs / gc_dirty_legs / extra_trials) in
+    // the JSON instead of silently reporting storm numbers.
     val CleanSlack = 1.30
+    val GcStormFrac = 0.05
     val MinCleanPairs = 2
     val maxExtraTrials = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "6").toInt
+    def gcStormed(r: CrawlRun): Boolean =
+      r.gcSecs > GcStormFrac * math.max(r.taskSecs, r.secs)
     def cleanPairs(pairs: List[(CrawlRun, CrawlRun)]): List[(CrawlRun, CrawlRun)] = {
-      if (pairs.isEmpty) Nil
+      val noGc = pairs.filterNot { case (a, b) => gcStormed(a) || gcStormed(b) }
+      if (noGc.isEmpty) Nil
       else {
-        val minA = pairs.map(_._1.secs).min
-        val minB = pairs.map(_._2.secs).min
-        pairs.filter { case (a, b) =>
+        val minA = noGc.map(_._1.secs).min
+        val minB = noGc.map(_._2.secs).min
+        noGc.filter { case (a, b) =>
           a.secs <= minA * CleanSlack && b.secs <= minB * CleanSlack }
       }
     }
+    // best single leg for the min-based headline numbers: prefer legs that
+    // were not GC-stormed (their walls measure the host, not the engine);
+    // fall back to the raw min only if every trial of a leg was stormed
+    def bestLeg(rs: List[CrawlRun]): Option[CrawlRun] = {
+      val clean = rs.filterNot(gcStormed)
+      (if (clean.nonEmpty) clean else rs).sortBy(_.secs).headOption
+    }
     var extraTrials = 0
+    var extraPolite = 0
     if (!skipCrawl) {
       (1 to trials).foreach(t => trialRound(polite = t <= politeTrials))
       while (cleanPairs(pairsWkHi).size < MinCleanPairs && extraTrials < maxExtraTrials) {
         extraTrials += 1
         trialRound(polite = false)
       }
+      // the politeness leg gets the same clean-pair machinery (its 2-trial
+      // r3 record spread 96-212 s for identical configs — noise published
+      // as signal); bounded retries, metadata recorded either way
+      while (politeTrials > 0 && cleanPairs(pairsPl).isEmpty && extraPolite < 2) {
+        extraPolite += 1
+        politeRound()
+      }
     }
-    val cLo = runsLo.sortBy(_.secs).headOption
-    val cHi = runsHi.sortBy(_.secs).headOption
-    val cWk = runsWk.sortBy(_.secs).headOption
-    val cPlLo = runsPlLo.sortBy(_.secs).headOption
-    val cPlHi = runsPlHi.sortBy(_.secs).headOption
+    val gcDirtyLegs = (runsLo ++ runsHi ++ runsWk).count(gcStormed)
+    val cLo = bestLeg(runsLo)
+    val cHi = bestLeg(runsHi)
+    val cWk = bestLeg(runsWk)
+    val cPlLo = bestLeg(runsPlLo)
+    val cPlHi = bestLeg(runsPlHi)
     val effStrong = for (a <- cLo; b <- cHi) yield b.fetchedPerSec / (4.0 * a.fetchedPerSec)
     // weak: per-core load equal; perfect scaling => equal wall time
     val effWeak = for (a <- cWk; b <- cHi) yield a.secs / b.secs
@@ -423,6 +461,9 @@ object Bench {
     val effStrongPairedBest = pairsLoHi
       .map { case (l, h) => math.min(1.0, h.fetchedPerSec / (4.0 * l.fetchedPerSec)) }
       .maxOption
+    val politeCleanPairs = cleanPairs(pairsPl)
+    val effPolitePaired = median(politeCleanPairs
+      .map { case (l, h) => math.min(1.0, h.fetchedPerSec / (4.0 * l.fetchedPerSec)) })
 
     def f(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val qs = results.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
@@ -432,7 +473,11 @@ object Bench {
       s""","polite":{"pages":${a.pages},"budget":$politeBudget,"cycles_cap":$politeCycles,"waves_per_commit":$politeWaves,""" +
         s""""local$nLo":{"secs":${f(a.secs)},"fetched_per_sec":${f(a.fetchedPerSec)},"trials":${trialsJson(runsPlLo)}},""" +
         s""""local$nHi":{"secs":${f(b.secs)},"fetched_per_sec":${f(b.fetchedPerSec)},"trials":${trialsJson(runsPlHi)}},""" +
-        s""""scaling_efficiency_strong":${f(b.fetchedPerSec / (4.0 * a.fetchedPerSec))}}""")
+        s""""scaling_efficiency_strong":${f(b.fetchedPerSec / (4.0 * a.fetchedPerSec))},""" +
+        s""""scaling_efficiency_strong_paired":${effPolitePaired.map(f).getOrElse("null")},""" +
+        s""""clean_pairs":${politeCleanPairs.size},""" +
+        s""""extra_trials":$extraPolite,""" +
+        s""""gc_dirty_legs":${(runsPlLo ++ runsPlHi).count(gcStormed)}}""")
       .getOrElse("")
     val crawlJson = (for (a <- cLo; b <- cHi; w <- cWk; es <- effStrong; ew <- effWeak) yield
       s""","crawl":{"pages":${a.pages},""" +
@@ -440,13 +485,15 @@ object Bench {
         s""""local$nHi":{"secs":${f(b.secs)},"fetched_per_sec":${f(b.fetchedPerSec)},"enqueue_per_sec":${f(b.enqueuePerSec)},"busy_cores":${f(b.busyCores)},"gc_secs":${f(b.gcSecs)},"trials":${trialsJson(runsHi)}},""" +
         s""""weak_local$nLo":{"pages":${w.pages},"secs":${f(w.secs)},"fetched_per_sec":${f(w.fetchedPerSec)},"trials":${trialsJson(runsWk)}},""" +
         s""""scaling_efficiency_strong":${f(es)},""" +
-        s""""scaling_efficiency_strong_paired":${f(effStrongPaired.getOrElse(0.0))},""" +
-        s""""scaling_efficiency_strong_paired_best":${f(effStrongPairedBest.getOrElse(0.0))},""" +
+        s""""scaling_efficiency_strong_paired":${effStrongPaired.map(f).getOrElse("null")},""" +
+        s""""scaling_efficiency_strong_paired_best":${effStrongPairedBest.map(f).getOrElse("null")},""" +
         s""""scaling_efficiency_weak":${f(ew)},""" +
-        s""""scaling_efficiency_weak_paired":${f(effWeakPaired.getOrElse(0.0))},""" +
-        s""""scaling_efficiency_weak_paired_best":${f(effWeakPairedBest.getOrElse(0.0))},""" +
+        s""""scaling_efficiency_weak_paired":${effWeakPaired.map(f).getOrElse("null")},""" +
+        s""""scaling_efficiency_weak_paired_best":${effWeakPairedBest.map(f).getOrElse("null")},""" +
         s""""clean_pairs":${cleanPairs(pairsWkHi).size},""" +
         s""""extra_trials":$extraTrials,""" +
+        s""""gc_dirty_legs":$gcDirtyLegs,""" +
+        s""""gc_storm_frac":$GcStormFrac,""" +
         s""""scaling_efficiency_weak_hw_normalized":${f(math.min(1.0, ew / math.max(hwCap, 1e-9)))},""" +
         s""""scaling_efficiency_weak_mem_normalized":${f(math.min(1.0, ew / math.max(hwMemCap, 1e-9)))},""" +
         s""""hw_scaling_cap":${f(hwCap)},""" +

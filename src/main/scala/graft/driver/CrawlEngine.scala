@@ -24,8 +24,11 @@ import graft.operators.{Politeness, Stages}
  * COMMIT (atomic snapshot: frontier COW by hostBucket + robots + output +
  * lineage). All state lives in tables; resume = reopen LATEST snapshot.
  *
- * Scale notes (north_rule): the frontier is partitioned by
- * `bucket = pmod(xxhash64(host), P)`; a cycle rewrites only touched buckets.
+ * Scale notes (north_rule): the frontier is partitioned by a SALTED host
+ * hash — `bucket = pmod(xxhash64(host), P)` for normal hosts, spread across
+ * `hotHostSalts` url-salted buckets for promoted hot domains (see
+ * CrawlConfig.hotHostSalts / promoteHotHosts) — and a cycle rewrites only
+ * touched buckets.
  * Shuffles per cycle: drain window (by host), fetch join (by url), dedup
  * anti-join (by url) — ≤3 as designed (SURVEY §4.3). Logical clock = cycle
  * number; no wall-clock in executors.
