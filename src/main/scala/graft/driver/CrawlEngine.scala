@@ -305,7 +305,11 @@ final class CrawlEngine(
       snap.commit(prev.cycle,
         cowTables = Map("frontier" -> ((next, "bucket", touched))),
         metrics = Map("seeds_added" -> n.toDouble,
-          "num_buckets" -> config.numBuckets.toDouble))
+          "num_buckets" -> config.numBuckets.toDouble,
+          // the salt-compat resume guard reads the LATEST snapshot's
+          // metrics — an addSeeds commit must carry them too
+          "hot_hosts" -> hotHosts.size.toDouble,
+          "hot_host_salts" -> config.hotHostSalts.toDouble))
       seenCountEstimate += n
       expectedBatch += n
       // injected seeds must become visible to the URL-seen filter BEFORE the

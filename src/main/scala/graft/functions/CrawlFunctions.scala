@@ -93,15 +93,19 @@ object CrawlFunctions {
       hot: Set[String]): Column =
     if (hot.isEmpty || k <= 1) hostBucket(host, n)
     else when(host.isin(hot.toSeq: _*),
-        pmod(xxhash64(host) + pmod(xxhash64(url), lit(k.toLong)), lit(n.toLong))
-          .cast("int"))
+        // reduce mod n BEFORE adding the salt: `xxhash64(host) + salt`
+        // on the raw hash can overflow Long, which throws under ANSI
+        // mode; (h mod n) + salt < n + k stays tiny and floorMod(h+s, n)
+        // == floorMod(floorMod(h,n)+s, n), so placement is unchanged
+        pmod(pmod(xxhash64(host), lit(n.toLong)) + pmod(xxhash64(url), lit(k.toLong)),
+          lit(n.toLong)).cast("int"))
       .otherwise(hostBucket(host, n))
 
   /** The k bucket ids salted placement can assign to a hot host — the dirs
     * a promotion must rewrite (mirrors [[saltedHostBucket]] exactly). */
   def saltedBucketsOf(host: String, n: Int, k: Int): Set[Int] = {
-    val h = XxHash.hash64(host)
-    (0L until k.toLong).map(s => math.floorMod(h + s, n.toLong).toInt).toSet
+    val h = math.floorMod(XxHash.hash64(host), n.toLong)
+    (0L until k.toLong).map(s => ((h + s) % n).toInt).toSet
   }
 
   /** Plain bucket id of a host on the driver (mirrors [[hostBucket]]). */
