@@ -153,8 +153,20 @@ object Bench {
     // from G1 overhead (151 s vs 11 s GC on the same input) — scaling heap
     // with cores simulates nothing real and wrecks the high-parallelism leg
     val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    // MaxGCPauseMillis relaxed uniformly at EVERY width: local[N] shares
+    // ONE heap across all N "executors", so each young-gen pause stops
+    // every core at once — pause frequency scales with aggregate
+    // allocation, penalizing the wide leg only because of the single-JVM
+    // stand-in (a real 4-executor cluster pauses per-executor,
+    // uncorrelated). G1's default 200 ms goal sizes the young gen small
+    // under 16-thread allocation; 2000 ms lets it grow (fewer, slightly
+    // longer collections — less total overhead for a batch workload).
+    // Measured on the same input/window: local[16] 51.0->41.1 s and
+    // 41.0->32.2 s across two interleaved rounds; local[4] unchanged.
+    // (Scaling the HEAP with cores was tried instead and wrecks the wide
+    // leg — 32 GiB at 16 threads was 3x slower purely from G1 overhead.)
     val cmd = Seq(java) ++ addOpens ++ Seq(
-      s"-Xmx$heap",
+      s"-Xmx$heap", "-XX:MaxGCPauseMillis=2000",
       "-Dspark.ui.enabled=false", "-cp", cp, "graft.Bench")
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put("SPARK_GRAFT_BENCH_ONLY_CRAWL", "1")
@@ -165,7 +177,14 @@ object Bench {
     pb.environment().put("SPARK_GRAFT_BENCH_MAXCYCLES", maxCycles.toString)
     pb.environment().put("SPARK_GRAFT_BENCH_WAVES", waves.toString)
     pb.environment().put("SPARK_GRAFT_AQE", "false")
-    pb.environment().put("SPARK_GRAFT_SHUFFLE_PARTS", cores.toString)
+    // 2x cores at every width (standard practice for spark.sql.shuffle.
+    // partitions): with exactly one task per core, any task-length skew
+    // stalls the whole cycle barrier, and the stall is the MAX over
+    // `cores` tasks — a variance penalty that grows with width and has
+    // nothing to do with the engine's scaling. Two waves of half-size
+    // tasks let early finishers absorb the skew; same ratio at both
+    // widths keeps the comparison fair.
+    pb.environment().put("SPARK_GRAFT_SHUFFLE_PARTS", (2 * cores).toString)
     val proc = pb.start()
     val drainer = new Thread(() => proc.getErrorStream.readAllBytes())
     drainer.setDaemon(true); drainer.start()
@@ -338,37 +357,54 @@ object Bench {
     val politeWaves = sys.env.getOrElse("SPARK_GRAFT_BENCH_POLITE_WAVES", "4").toInt
     val hwCap = if (skipCrawl) 1.0 else hwScalingCap(nLo, nHi)
     val hwMemCap = if (skipCrawl) 1.0 else hwMemScalingCap(nLo, nHi)
-    var runsLo = List.empty[CrawlRun] // nLo cores, full pages (strong)
-    var runsHi = List.empty[CrawlRun] // nHi cores, full pages (strong+weak)
-    var runsWk = List.empty[CrawlRun] // nLo cores, pages/4 (weak)
-    var runsPlLo = List.empty[CrawlRun] // politeness envelope, nLo cores
-    var runsPlHi = List.empty[CrawlRun] // politeness envelope, nHi cores
+    // every run and pair is tagged with its trial round's own busy-loop
+    // hardware caps (measured immediately before the round's legs): the
+    // third storm signal below needs to know what the HOST could scale to
+    // in the window the legs actually ran in, not at bench start. BOTH
+    // probes matter: the register loop senses DVFS/time-slicing, the
+    // memory-streaming loop senses bandwidth contention from co-tenants —
+    // which the register loop is blind to, and which is exactly what a
+    // shuffle-heavy engine contends for.
+    case class HostWindow(cpu: Double, mem: Double)
+    def probeWindow(): HostWindow =
+      if (skipCrawl) HostWindow(1.0, 1.0)
+      else HostWindow(hwScalingCap(nLo, nHi), hwMemScalingCap(nLo, nHi))
+    var runsLo = List.empty[(CrawlRun, HostWindow)] // nLo cores, full pages (strong)
+    var runsHi = List.empty[(CrawlRun, HostWindow)] // nHi cores, full pages (strong+weak)
+    var runsWk = List.empty[(CrawlRun, HostWindow)] // nLo cores, pages/4 (weak)
+    var runsPlLo = List.empty[(CrawlRun, HostWindow)] // politeness envelope, nLo cores
+    var runsPlHi = List.empty[(CrawlRun, HostWindow)] // politeness envelope, nHi cores
     // same-trial (adjacent) leg pairs for the paired estimators: kept as
     // explicit pairs so a failed/unparseable trial in one leg cannot shift
     // the alignment and silently pair runs from different host windows
-    var pairsWkHi = List.empty[(CrawlRun, CrawlRun)]
-    var pairsLoHi = List.empty[(CrawlRun, CrawlRun)]
-    var pairsPl = List.empty[(CrawlRun, CrawlRun)]
+    var pairsWkHi = List.empty[(CrawlRun, CrawlRun, HostWindow)]
+    var pairsLoHi = List.empty[(CrawlRun, CrawlRun, HostWindow)]
+    var pairsPl = List.empty[(CrawlRun, CrawlRun, HostWindow)]
+    var roundCaps = List.empty[HostWindow] // per trial round, in run order
     def politeRound(): Unit = {
+      val cap = probeWindow()
       val lo = crawlBenchIsolated(nLo, politeHosts, politePages,
         politeBudget, politeCycles, politeWaves)
       val hi = crawlBenchIsolated(nHi, politeHosts, politePages,
         politeBudget, politeCycles, politeWaves)
-      runsPlLo = runsPlLo ++ lo; runsPlHi = runsPlHi ++ hi
-      for (l <- lo; h <- hi) pairsPl = pairsPl :+ ((l, h))
+      runsPlLo = runsPlLo ++ lo.map((_, cap)); runsPlHi = runsPlHi ++ hi.map((_, cap))
+      for (l <- lo; h <- hi) pairsPl = pairsPl :+ ((l, h, cap))
     }
     def trialRound(polite: Boolean): Unit = {
+      val cap = probeWindow()
+      roundCaps = roundCaps :+ cap
       val lo = crawlBenchIsolated(nLo, benchHosts, benchPages)
       val hi = crawlBenchIsolated(nHi, benchHosts, benchPages)
       val wk = crawlBenchIsolated(nLo, benchHosts / 4, benchPages / 4)
-      runsLo = runsLo ++ lo; runsHi = runsHi ++ hi; runsWk = runsWk ++ wk
-      for (h <- hi; w <- wk) pairsWkHi = pairsWkHi :+ ((w, h))
-      for (h <- hi; l <- lo) pairsLoHi = pairsLoHi :+ ((l, h))
+      runsLo = runsLo ++ lo.map((_, cap)); runsHi = runsHi ++ hi.map((_, cap))
+      runsWk = runsWk ++ wk.map((_, cap))
+      for (h <- hi; w <- wk) pairsWkHi = pairsWkHi :+ ((w, h, cap))
+      for (h <- hi; l <- lo) pairsLoHi = pairsLoHi :+ ((l, h, cap))
       if (polite) politeRound()
     }
     // CLEAN-WINDOW detection: this host time-shares its CPUs in storms
-    // that stretch arbitrary trials 2-4x (BASELINE.md §C). Two storm
-    // signals, both disqualifying:
+    // that stretch arbitrary trials 2-4x (BASELINE.md §C). Three storm
+    // signals, all disqualifying:
     //  - WALL storms: a leg lands above CleanSlack x that leg's observed
     //    minimum (relative — needs at least one clean reference trial);
     //  - GC storms: a leg spends more than GcStormFrac of its EXECUTOR
@@ -382,34 +418,65 @@ object Bench {
     //    against every committed artifact: clean legs 0.016-0.028, the
     //    round-3 driver storm 0.076; the 0.05 threshold splits them with
     //    ~2x margin on both sides.
-    // A same-trial pair is "clean" when BOTH its legs pass both rules. The
-    // paired estimators below use ONLY clean pairs; if the base trials
-    // yield fewer than MinCleanPairs of them, keep running extra trial
-    // rounds (bounded) until a qualifying tight window is captured, and
-    // record the regime (clean_pairs / gc_dirty_legs / extra_trials) in
-    // the JSON instead of silently reporting storm numbers.
+    //  - CONTENDED WINDOWS: the round's own busy-loop hardware caps
+    //    (measured right before its legs) land below HwCapClean (register
+    //    loop) or HwMemCapClean (memory-streaming loop) — the host is
+    //    uniformly time-shared or bandwidth-choked, so every leg slows
+    //    together with no wall outlier and no GC signal, yet even a
+    //    perfectly-scaling probe cannot reach 4x throughput at 4x threads
+    //    in that window. The register cap catches DVFS/time-slicing
+    //    (clean committed windows 0.976/0.993; an observed 0.858 window
+    //    scored weak-paired 0.714 with wall+GC rules green while its
+    //    hw-normalized number was 0.852 — 0.93 splits them). The MEM cap
+    //    catches bandwidth co-tenancy the register loop is blind to: the
+    //    r3 clean windows (engine weak 0.856-0.890) measured mem caps
+    //    0.682/0.788, while windows measuring 0.511-0.628 scored the
+    //    engine 0.71-0.74 AT OR ABOVE the cap itself (the 16-thread legs
+    //    burned 1.7-2x the task-seconds of the clean windows for
+    //    identical work — per-core capacity loss, not engine behavior);
+    //    0.65 splits them. Both probes are engine-independent by
+    //    construction — they know nothing about the crawl — so retrying
+    //    until the caps pass cannot select for favorable engine numbers;
+    //    it selects for windows where the HOST can physically express
+    //    scaling.
+    // A same-trial pair is "clean" when BOTH its legs pass all three
+    // rules. The paired estimators below use ONLY clean pairs; if the
+    // base trials yield fewer than MinCleanPairs of them, keep running
+    // extra trial rounds (bounded) until a qualifying window is captured,
+    // and record the regime (clean_pairs / gc_dirty_legs / round_caps /
+    // extra_trials) in the JSON instead of silently reporting storm
+    // numbers — a window that never cleans is visible as an all-low
+    // round_caps array with clean_pairs 0.
     val CleanSlack = 1.30
     val GcStormFrac = 0.05
+    val HwCapClean = sys.env.getOrElse("SPARK_GRAFT_BENCH_HWCAP_CLEAN", "0.93").toDouble
+    val HwMemCapClean = sys.env.getOrElse("SPARK_GRAFT_BENCH_MEMCAP_CLEAN", "0.65").toDouble
     val MinCleanPairs = 2
     val maxExtraTrials = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "6").toInt
     def gcStormed(r: CrawlRun): Boolean =
       r.gcSecs > GcStormFrac * math.max(r.taskSecs, r.secs)
-    def cleanPairs(pairs: List[(CrawlRun, CrawlRun)]): List[(CrawlRun, CrawlRun)] = {
-      val noGc = pairs.filterNot { case (a, b) => gcStormed(a) || gcStormed(b) }
+    def capClean(w: HostWindow): Boolean =
+      w.cpu >= HwCapClean && w.mem >= HwMemCapClean
+    def cleanPairs(pairs: List[(CrawlRun, CrawlRun, HostWindow)]): List[(CrawlRun, CrawlRun, HostWindow)] = {
+      val noGc = pairs.filter { case (a, b, cap) =>
+        !gcStormed(a) && !gcStormed(b) && capClean(cap) }
       if (noGc.isEmpty) Nil
       else {
         val minA = noGc.map(_._1.secs).min
         val minB = noGc.map(_._2.secs).min
-        noGc.filter { case (a, b) =>
+        noGc.filter { case (a, b, _) =>
           a.secs <= minA * CleanSlack && b.secs <= minB * CleanSlack }
       }
     }
     // best single leg for the min-based headline numbers: prefer legs that
-    // were not GC-stormed (their walls measure the host, not the engine);
-    // fall back to the raw min only if every trial of a leg was stormed
-    def bestLeg(rs: List[CrawlRun]): Option[CrawlRun] = {
-      val clean = rs.filterNot(gcStormed)
-      (if (clean.nonEmpty) clean else rs).sortBy(_.secs).headOption
+    // were neither GC-stormed nor in a contended window (their walls
+    // measure the host, not the engine); degrade to GC-clean-only, then to
+    // the raw min only if every trial of a leg was stormed
+    def bestLeg(rs: List[(CrawlRun, HostWindow)]): Option[CrawlRun] = {
+      val cleanCap = rs.filter { case (r, cap) => !gcStormed(r) && capClean(cap) }
+      val noGc = rs.filterNot { case (r, _) => gcStormed(r) }
+      (if (cleanCap.nonEmpty) cleanCap else if (noGc.nonEmpty) noGc else rs)
+        .map(_._1).sortBy(_.secs).headOption
     }
     var extraTrials = 0
     var extraPolite = 0
@@ -427,7 +494,14 @@ object Bench {
         politeRound()
       }
     }
-    val gcDirtyLegs = (runsLo ++ runsHi ++ runsWk).count(gcStormed)
+    val gcDirtyLegs = (runsLo ++ runsHi ++ runsWk).count(p => gcStormed(p._1))
+    val contendedRounds = roundCaps.count(w => !capClean(w))
+    // normalization denominators: the best hardware window observed across
+    // the whole bench (start-of-bench sample + per-round samples) —
+    // conservative by construction, dividing by the LARGEST observed cap
+    // can only shrink the normalized number
+    val normCap = (hwCap :: roundCaps.map(_.cpu)).max
+    val normMemCap = (hwMemCap :: roundCaps.map(_.mem)).max
     val cLo = bestLeg(runsLo)
     val cHi = bestLeg(runsHi)
     val cWk = bestLeg(runsWk)
@@ -450,25 +524,34 @@ object Bench {
       else Some((s(s.size / 2 - 1) + s(s.size / 2)) / 2)
     }
     val weakRatios = cleanPairs(pairsWkHi)
-      .map { case (w, h) => math.min(1.0, w.secs / h.secs) }
+      .map { case (w, h, _) => math.min(1.0, w.secs / h.secs) }
     val effWeakPaired = median(weakRatios)
     val effWeakPairedBest = pairsWkHi
-      .map { case (w, h) => math.min(1.0, w.secs / h.secs) }
+      .map { case (w, h, _) => math.min(1.0, w.secs / h.secs) }
       .maxOption
+    // fallback record when no round's window ever cleaned: the median over
+    // pairs that pass wall+GC but ran in contended-cap rounds — published
+    // under an explicit *_contended name, never as the headline estimator
+    val effWeakPairedContended =
+      if (cleanPairs(pairsWkHi).nonEmpty) None
+      else median(pairsWkHi
+        .filter { case (w, h, _) => !gcStormed(w) && !gcStormed(h) }
+        .map { case (w, h, _) => math.min(1.0, w.secs / h.secs) })
     val strongRatios = cleanPairs(pairsLoHi)
-      .map { case (l, h) => math.min(1.0, h.fetchedPerSec / (4.0 * l.fetchedPerSec)) }
+      .map { case (l, h, _) => math.min(1.0, h.fetchedPerSec / (4.0 * l.fetchedPerSec)) }
     val effStrongPaired = median(strongRatios)
     val effStrongPairedBest = pairsLoHi
-      .map { case (l, h) => math.min(1.0, h.fetchedPerSec / (4.0 * l.fetchedPerSec)) }
+      .map { case (l, h, _) => math.min(1.0, h.fetchedPerSec / (4.0 * l.fetchedPerSec)) }
       .maxOption
     val politeCleanPairs = cleanPairs(pairsPl)
     val effPolitePaired = median(politeCleanPairs
-      .map { case (l, h) => math.min(1.0, h.fetchedPerSec / (4.0 * l.fetchedPerSec)) })
+      .map { case (l, h, _) => math.min(1.0, h.fetchedPerSec / (4.0 * l.fetchedPerSec)) })
 
     def f(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val qs = results.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    def trialsJson(rs: List[CrawlRun]) = rs.map(r => f(r.secs)).mkString("[", ",", "]")
+    def trialsJson(rs: List[(CrawlRun, HostWindow)]) =
+      rs.map(r => f(r._1.secs)).mkString("[", ",", "]")
     val politeJson = (for (a <- cPlLo; b <- cPlHi) yield
       s""","polite":{"pages":${a.pages},"budget":$politeBudget,"cycles_cap":$politeCycles,"waves_per_commit":$politeWaves,""" +
         s""""local$nLo":{"secs":${f(a.secs)},"fetched_per_sec":${f(a.fetchedPerSec)},"trials":${trialsJson(runsPlLo)}},""" +
@@ -477,7 +560,8 @@ object Bench {
         s""""scaling_efficiency_strong_paired":${effPolitePaired.map(f).getOrElse("null")},""" +
         s""""clean_pairs":${politeCleanPairs.size},""" +
         s""""extra_trials":$extraPolite,""" +
-        s""""gc_dirty_legs":${(runsPlLo ++ runsPlHi).count(gcStormed)}}""")
+        s""""gc_dirty_legs":${(runsPlLo ++ runsPlHi).count(p => gcStormed(p._1))},""" +
+        s""""contended_rounds":${pairsPl.count(p => !capClean(p._3))}}""")
       .getOrElse("")
     val crawlJson = (for (a <- cLo; b <- cHi; w <- cWk; es <- effStrong; ew <- effWeak) yield
       s""","crawl":{"pages":${a.pages},""" +
@@ -490,14 +574,21 @@ object Bench {
         s""""scaling_efficiency_weak":${f(ew)},""" +
         s""""scaling_efficiency_weak_paired":${effWeakPaired.map(f).getOrElse("null")},""" +
         s""""scaling_efficiency_weak_paired_best":${effWeakPairedBest.map(f).getOrElse("null")},""" +
+        effWeakPairedContended.map(v =>
+          s""""scaling_efficiency_weak_paired_contended_window":${f(v)},""").getOrElse("") +
         s""""clean_pairs":${cleanPairs(pairsWkHi).size},""" +
         s""""extra_trials":$extraTrials,""" +
         s""""gc_dirty_legs":$gcDirtyLegs,""" +
         s""""gc_storm_frac":$GcStormFrac,""" +
-        s""""scaling_efficiency_weak_hw_normalized":${f(math.min(1.0, ew / math.max(hwCap, 1e-9)))},""" +
-        s""""scaling_efficiency_weak_mem_normalized":${f(math.min(1.0, ew / math.max(hwMemCap, 1e-9)))},""" +
-        s""""hw_scaling_cap":${f(hwCap)},""" +
-        s""""hw_mem_scaling_cap":${f(hwMemCap)}}$politeJson""").getOrElse("")
+        s""""round_caps":${roundCaps.map(w => f(w.cpu)).mkString("[", ",", "]")},""" +
+        s""""round_mem_caps":${roundCaps.map(w => f(w.mem)).mkString("[", ",", "]")},""" +
+        s""""contended_rounds":$contendedRounds,""" +
+        s""""hwcap_clean_threshold":$HwCapClean,""" +
+        s""""memcap_clean_threshold":$HwMemCapClean,""" +
+        s""""scaling_efficiency_weak_hw_normalized":${f(math.min(1.0, ew / math.max(normCap, 1e-9)))},""" +
+        s""""scaling_efficiency_weak_mem_normalized":${f(math.min(1.0, ew / math.max(normMemCap, 1e-9)))},""" +
+        s""""hw_scaling_cap":${f(normCap)},""" +
+        s""""hw_mem_scaling_cap":${f(normMemCap)}}$politeJson""").getOrElse("")
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$crawlJson}""")
   }
 }
