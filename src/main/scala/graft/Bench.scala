@@ -552,6 +552,13 @@ object Bench {
     val total = results.map(_._2).sum
     def trialsJson(rs: List[(CrawlRun, HostWindow)]) =
       rs.map(r => f(r._1.secs)).mkString("[", ",", "]")
+    // per-trial executor task-seconds and GC-seconds: the capacity story
+    // (identical work costing more CPU-seconds in a contended window) is
+    // invisible in wall arrays alone — record it in the artifact itself
+    def taskSecsJson(rs: List[(CrawlRun, HostWindow)]) =
+      rs.map(r => f(r._1.taskSecs)).mkString("[", ",", "]")
+    def gcSecsJson(rs: List[(CrawlRun, HostWindow)]) =
+      rs.map(r => f(r._1.gcSecs)).mkString("[", ",", "]")
     val politeJson = (for (a <- cPlLo; b <- cPlHi) yield
       s""","polite":{"pages":${a.pages},"budget":$politeBudget,"cycles_cap":$politeCycles,"waves_per_commit":$politeWaves,""" +
         s""""local$nLo":{"secs":${f(a.secs)},"fetched_per_sec":${f(a.fetchedPerSec)},"trials":${trialsJson(runsPlLo)}},""" +
@@ -565,9 +572,9 @@ object Bench {
       .getOrElse("")
     val crawlJson = (for (a <- cLo; b <- cHi; w <- cWk; es <- effStrong; ew <- effWeak) yield
       s""","crawl":{"pages":${a.pages},""" +
-        s""""local$nLo":{"secs":${f(a.secs)},"fetched_per_sec":${f(a.fetchedPerSec)},"enqueue_per_sec":${f(a.enqueuePerSec)},"busy_cores":${f(a.busyCores)},"gc_secs":${f(a.gcSecs)},"trials":${trialsJson(runsLo)}},""" +
-        s""""local$nHi":{"secs":${f(b.secs)},"fetched_per_sec":${f(b.fetchedPerSec)},"enqueue_per_sec":${f(b.enqueuePerSec)},"busy_cores":${f(b.busyCores)},"gc_secs":${f(b.gcSecs)},"trials":${trialsJson(runsHi)}},""" +
-        s""""weak_local$nLo":{"pages":${w.pages},"secs":${f(w.secs)},"fetched_per_sec":${f(w.fetchedPerSec)},"trials":${trialsJson(runsWk)}},""" +
+        s""""local$nLo":{"secs":${f(a.secs)},"fetched_per_sec":${f(a.fetchedPerSec)},"enqueue_per_sec":${f(a.enqueuePerSec)},"busy_cores":${f(a.busyCores)},"gc_secs":${f(a.gcSecs)},"trials":${trialsJson(runsLo)},"trials_task_secs":${taskSecsJson(runsLo)},"trials_gc_secs":${gcSecsJson(runsLo)}},""" +
+        s""""local$nHi":{"secs":${f(b.secs)},"fetched_per_sec":${f(b.fetchedPerSec)},"enqueue_per_sec":${f(b.enqueuePerSec)},"busy_cores":${f(b.busyCores)},"gc_secs":${f(b.gcSecs)},"trials":${trialsJson(runsHi)},"trials_task_secs":${taskSecsJson(runsHi)},"trials_gc_secs":${gcSecsJson(runsHi)}},""" +
+        s""""weak_local$nLo":{"pages":${w.pages},"secs":${f(w.secs)},"fetched_per_sec":${f(w.fetchedPerSec)},"trials":${trialsJson(runsWk)},"trials_task_secs":${taskSecsJson(runsWk)},"trials_gc_secs":${gcSecsJson(runsWk)}},""" +
         s""""scaling_efficiency_strong":${f(es)},""" +
         s""""scaling_efficiency_strong_paired":${effStrongPaired.map(f).getOrElse("null")},""" +
         s""""scaling_efficiency_strong_paired_best":${effStrongPairedBest.map(f).getOrElse("null")},""" +
