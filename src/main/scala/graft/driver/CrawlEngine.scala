@@ -618,8 +618,24 @@ final class CrawlEngine(
       Stages.retryHttpError(config.retryCodes, config.maxRetries),
       Stages.filterHttpError(config.filterCodes),
       Stages.ajaxRewrite))
-    val responded = responseChain.foldLeft(preTagged)((df, s) => s(df))
+    // CACHE SLIMMING (bandwidth at scale): when both downstream hooks are
+    // the defaults, the body's LAST consumer is the link extraction — so
+    // extract links BEFORE persisting and drop f_body/f_ct from the cached
+    // wave state. Otherwise the two fattest wave caches (`responded`, `ok`)
+    // each hold every fetched body for the whole wave: cache fill + the 2-3
+    // downstream reads stream those bytes through memory again, and on the
+    // single-box bench that traffic contends with the shuffle/COW writes
+    // for the same memory channels. Custom result stages or an
+    // extractInformation hook may read f_body, so they keep the wide rows.
+    val slimWave = config.extractInfo.isEmpty && config.resultStages.isEmpty
+    val respondedWide = responseChain.foldLeft(preTagged)((df, s) => s(df))
       .withColumn("outcome", coalesce($"outcome", lit("OK")))
+    val responded = (if (slimWave)
+        respondedWide
+          .withColumn("links",
+            when($"outcome" === "OK", extractLinksUdf($"f_body", $"url", $"f_ct")))
+          .drop("f_body", "f_ct")
+      else respondedWide)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- 6. PARSE (X1/X2) + 7. result-leg stage chain (P8 by default) ---
@@ -627,8 +643,10 @@ final class CrawlEngine(
     // Crawler extracts links for every OK page and the RESULT stages
     // (default: MaxDepthFilter) then prune them — exactly the reference's
     // Crawler → result-pipeline traversal (Manager.scala:137-147)
-    val parsed = responded.filter($"outcome" === "OK")
-      .withColumn("links", extractLinksUdf($"f_body", $"url", $"f_ct"))
+    val parsed =
+      if (slimWave) responded.filter($"outcome" === "OK")
+      else responded.filter($"outcome" === "OK")
+        .withColumn("links", extractLinksUdf($"f_body", $"url", $"f_ct"))
     val resultChain = config.resultStages
       .getOrElse(Seq(Stages.maxDepth(config.maxDepth)))
     val ok = resultChain.foldLeft(parsed)((df, s) => s(df))
