@@ -600,27 +600,83 @@ object SparkEntry {
       |        ELSE (1::BIGINT << cell)::HUGEINT END)::BIGINT AS img_phash
       |  FROM cells c JOIN m64 USING (doc_id) GROUP BY c.doc_id)""".stripMargin
 
+  /** DERIVED entry oracle (not a snapshot): only the crawl-semantics facts
+    * — which pages complete, at what depth/cycle, referencing which
+    * image_id — are literals (pinned independently by EngineParitySpec's
+    * reference-oracle replay of NodeTest). EVERYTHING the image codec
+    * contributes (w/h/fmt from the id's seed, the caption word pick, the
+    * 8x8 average-hash over the raster, the lossless/quantized PSNR) is
+    * re-derived from `image_id` alone by replaying ImageCodec in DuckDB —
+    * the java-31 string fold + splitmix64 finalizer, the Fixtures.imagesFor
+    * metadata derivation (k = |seed|, w = 16+k%9, h = 16+(k>>4)%9,
+    * fmt by k parity), the gradient raster, and the same IEEE-ordered
+    * phash sums as the q47/q48 mirrors — so a codec regression that shifts
+    * BOTH the engine and a committed literal is still caught here. */
+  private def entryOracleSql: String = {
+    val mulB = wrapMul("13787848793156543929")
+    val mulC = wrapMul("10723151780598845931")
+    s"""WITH ids AS (SELECT * FROM (VALUES
+       |    ('img-site3-root', 'http://host0.test/', 0, 2),
+       |    ('img-site3-resource', 'http://host0.test/resource', 1, 3),
+       |    ('img-site3-stuff', 'http://host0.test/stuff', 1, 3))
+       |  AS t(doc_id, src_url, depth, cycle)),
+       |s0 AS (SELECT doc_id, list_reduce(
+       |    list_concat([1125899906842597::HUGEINT],
+       |      list_transform(list_filter(string_split(doc_id, ''), c -> len(c) > 0),
+       |        c -> ascii(c)::HUGEINT)),
+       |    (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)::UBIGINT AS hv FROM ids),
+       |sA AS (SELECT doc_id, ((hv::HUGEINT + 11400714819323198485::HUGEINT)
+       |    % 18446744073709551616::HUGEINT)::UBIGINT AS z FROM s0),
+       |sB0 AS (SELECT doc_id, xor(z, z >> 30) AS x FROM sA),
+       |sB AS (SELECT doc_id, $mulB AS z FROM sB0),
+       |sC0 AS (SELECT doc_id, xor(z, z >> 27) AS x FROM sB),
+       |sC AS (SELECT doc_id, $mulC AS z FROM sC0),
+       |sD AS (SELECT doc_id, xor(z, z >> 31) AS seed FROM sC),
+       |meta AS (SELECT doc_id, seed,
+       |    abs(CASE WHEN seed >= 9223372036854775808::UBIGINT
+       |        THEN seed::HUGEINT - 18446744073709551616::HUGEINT
+       |        ELSE seed::HUGEINT END) AS k,
+       |    (seed & 255) % 97 AS bx, ((seed >> 8) & 255) % 89 AS by FROM sD),
+       |imgs AS (SELECT doc_id, seed, bx, by,
+       |    (16 + (k % 9))::BIGINT AS w, (16 + ((k // 16) % 9))::BIGINT AS h,
+       |    (k % 2 = 0) AS lossless FROM meta),
+       |cap AS (SELECT doc_id, 'a ' ||
+       |    (['quiet','bright','rusty','gentle','vast','amber','hollow','silver','mossy','pale'])[((seed & 2147483647) % 10)::INT + 1]
+       |    || ' ' ||
+       |    (['harbor','meadow','rooftop','canyon','lantern','orchard','glacier','market','bridge','archway'])[(((seed >> 16) & 2147483647) % 10)::INT + 1]
+       |    || ' ' ||
+       |    (['at dawn','after rain','in fog','under stars','at dusk','in summer','mid-winter','in shadow'])[(((seed >> 32) & 2147483647) % 8)::INT + 1]
+       |    || ' (#' || doc_id || ')' AS caption FROM imgs),
+       |pix AS (SELECT i.doc_id, i.w, i.h, i.lossless, i.seed, i.bx, i.by,
+       |    xx.range AS xx, yy.range AS yy, xx.range AS sx, yy.range AS sy
+       |  FROM imgs i, range(0, 24) xx, range(0, 24) yy
+       |  WHERE xx.range < i.w AND yy.range < i.h),
+       |$imagePixelCtes,
+       |err AS (SELECT doc_id, max(w) AS w, max(h) AS h,
+       |    sum( (least((r0 // 4) * 4 + 2, 255) - r0) * (least((r0 // 4) * 4 + 2, 255) - r0)
+       |       + (least((g0 // 4) * 4 + 2, 255) - g0) * (least((g0 // 4) * 4 + 2, 255) - g0)
+       |       + (least((b0 // 4) * 4 + 2, 255) - b0) * (least((b0 // 4) * 4 + 2, 255) - b0)
+       |      )::DOUBLE AS se
+       |  FROM raw GROUP BY doc_id),
+       |lum AS (SELECT doc_id, least(yy * 8 // h, 7) * 8 + least(xx * 8 // w, 7) AS cell,
+       |    yy, xx, 0.299::DOUBLE * r0 + 0.587::DOUBLE * g0 + 0.114::DOUBLE * b0 AS l FROM raw),
+       |$PhashCtes
+       |SELECT i.doc_id AS image_id, i.w::INTEGER AS w, i.h::INTEGER AS h,
+       |  CASE WHEN i.lossless THEN 'png' ELSE 'jpg' END AS fmt,
+       |  c.caption, p.img_phash::BIGINT AS phash, d.src_url,
+       |  d.depth::INTEGER AS depth, d.cycle::BIGINT AS cycle,
+       |  (CASE WHEN i.lossless OR e.se = 0 THEN 999.0
+       |    ELSE 10.0 * log10(65025.0 / (e.se / (i.w * i.h * 3)::DOUBLE)) END)::DOUBLE AS psnr,
+       |  true AS caption_ok
+       |FROM ids d JOIN imgs i USING (doc_id) JOIN cap c USING (doc_id)
+       |JOIN ph p USING (doc_id) JOIN err e USING (doc_id)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // the flagship 3-page fixture crawl is deterministic end to end
-    // (engine semantics pinned by EngineParitySpec; captions/PSNR by the
-    // codec): its exact output rows are committed as a literal oracle —
-    // all three fixture images are lossless, so psnr is exactly 999.0
-    "entry" ->
-      """SELECT image_id, w::INTEGER AS w, h::INTEGER AS h, fmt, caption,
-        |  phash::BIGINT AS phash, src_url, depth::INTEGER AS depth,
-        |  cycle::BIGINT AS cycle, psnr::DOUBLE AS psnr, caption_ok
-        |FROM (VALUES
-        |  ('img-site3-root', 18, 16, 'png',
-        |   'a hollow orchard at dawn (#img-site3-root)', -284804100620288,
-        |   'http://host0.test/', 0, 2, 999.0, true),
-        |  ('img-site3-resource', 24, 19, 'png',
-        |   'a rusty lantern at dusk (#img-site3-resource)', -289201876598784,
-        |   'http://host0.test/resource', 1, 3, 999.0, true),
-        |  ('img-site3-stuff', 17, 16, 'png',
-        |   'a hollow canyon mid-winter (#img-site3-stuff)', -284803832217600,
-        |   'http://host0.test/stuff', 1, 3, 999.0, true)
-        |) AS t(image_id, w, h, fmt, caption, phash, src_url, depth, cycle,
-        |       psnr, caption_ok)""".stripMargin,
+    // (engine semantics pinned by EngineParitySpec); the codec half of the
+    // expected rows is DERIVED from image_id in SQL, not committed
+    "entry" -> entryOracleSql,
 
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -961,9 +1017,229 @@ object SparkEntry {
     // PipelineSpec asserts the identity), so the same mirror replays it.
     "q49_ann_ivf_exact" -> BruteForceTopKSql,
 
+    // PINNED GOLDEN for the genuinely-approximate IVF leg (nProbe=6 of 16):
+    // the hash-seeded fixed-iteration k-means and the probe->re-score->top-k
+    // ranking are fully deterministic for a given embeddings table (two
+    // independent Verify runs at the gate config produced bit-identical
+    // parquet; PipelineSpec pins determinism and recall), so the exact
+    // result at sf0.01 is committed as a literal VALUES oracle. Generated
+    // once from graft.Verify output; regenerate via tools/regen_goldens.py
+    // if the quantizer or the sf0.01 embeddings fixture ever changes.
+    "q49_ann_ivf" ->
+      """SELECT q_id::BIGINT AS q_id, rank::BIGINT AS rank, neighbor::BIGINT AS neighbor, sim FROM (VALUES
+       |  (0, 1, 365, 0.369994::DOUBLE),
+       |  (0, 2, 387, 0.331139::DOUBLE),
+       |  (0, 3, 423, 0.296934::DOUBLE),
+       |  (0, 4, 73, 0.295434::DOUBLE),
+       |  (0, 5, 190, 0.281795::DOUBLE),
+       |  (1, 1, 195, 0.322744::DOUBLE),
+       |  (1, 2, 402, 0.292322::DOUBLE),
+       |  (1, 3, 203, 0.268155::DOUBLE),
+       |  (1, 4, 363, 0.263306::DOUBLE),
+       |  (1, 5, 312, 0.259052::DOUBLE),
+       |  (2, 1, 117, 0.318143::DOUBLE),
+       |  (2, 2, 450, 0.266344::DOUBLE),
+       |  (2, 3, 145, 0.263494::DOUBLE),
+       |  (2, 4, 188, 0.263272::DOUBLE),
+       |  (2, 5, 320, 0.255043::DOUBLE),
+       |  (3, 1, 343, 0.308472::DOUBLE),
+       |  (3, 2, 174, 0.303548::DOUBLE),
+       |  (3, 3, 207, 0.291702::DOUBLE),
+       |  (3, 4, 192, 0.290803::DOUBLE),
+       |  (3, 5, 474, 0.276738::DOUBLE),
+       |  (4, 1, 114, 0.398513::DOUBLE),
+       |  (4, 2, 496, 0.341212::DOUBLE),
+       |  (4, 3, 280, 0.279826::DOUBLE),
+       |  (4, 4, 249, 0.279631::DOUBLE),
+       |  (4, 5, 257, 0.272399::DOUBLE),
+       |  (5, 1, 404, 0.328403::DOUBLE),
+       |  (5, 2, 419, 0.319237::DOUBLE),
+       |  (5, 3, 395, 0.275599::DOUBLE),
+       |  (5, 4, 225, 0.259515::DOUBLE),
+       |  (5, 5, 11, 0.257455::DOUBLE),
+       |  (6, 1, 350, 0.324518::DOUBLE),
+       |  (6, 2, 145, 0.297696::DOUBLE),
+       |  (6, 3, 437, 0.283031::DOUBLE),
+       |  (6, 4, 386, 0.275196::DOUBLE),
+       |  (6, 5, 395, 0.25912::DOUBLE),
+       |  (7, 1, 425, 0.40752::DOUBLE),
+       |  (7, 2, 209, 0.394463::DOUBLE),
+       |  (7, 3, 334, 0.356901::DOUBLE),
+       |  (7, 4, 381, 0.345179::DOUBLE),
+       |  (7, 5, 445, 0.340782::DOUBLE),
+       |  (8, 1, 39, 0.384696::DOUBLE),
+       |  (8, 2, 138, 0.356671::DOUBLE),
+       |  (8, 3, 403, 0.338238::DOUBLE),
+       |  (8, 4, 497, 0.317798::DOUBLE),
+       |  (8, 5, 380, 0.304526::DOUBLE),
+       |  (9, 1, 489, 0.343538::DOUBLE),
+       |  (9, 2, 386, 0.322118::DOUBLE),
+       |  (9, 3, 107, 0.284494::DOUBLE),
+       |  (9, 4, 256, 0.284474::DOUBLE),
+       |  (9, 5, 198, 0.258676::DOUBLE),
+       |  (10, 1, 233, 0.362182::DOUBLE),
+       |  (10, 2, 272, 0.360649::DOUBLE),
+       |  (10, 3, 313, 0.313132::DOUBLE),
+       |  (10, 4, 123, 0.313045::DOUBLE),
+       |  (10, 5, 390, 0.273976::DOUBLE),
+       |  (11, 1, 30, 0.367827::DOUBLE),
+       |  (11, 2, 399, 0.354481::DOUBLE),
+       |  (11, 3, 20, 0.336347::DOUBLE),
+       |  (11, 4, 465, 0.280256::DOUBLE),
+       |  (11, 5, 78, 0.276102::DOUBLE),
+       |  (12, 1, 127, 0.350543::DOUBLE),
+       |  (12, 2, 402, 0.316485::DOUBLE),
+       |  (12, 3, 161, 0.275537::DOUBLE),
+       |  (12, 4, 173, 0.272121::DOUBLE),
+       |  (12, 5, 274, 0.267527::DOUBLE),
+       |  (13, 1, 440, 0.358399::DOUBLE),
+       |  (13, 2, 430, 0.309928::DOUBLE),
+       |  (13, 3, 55, 0.290693::DOUBLE),
+       |  (13, 4, 274, 0.286487::DOUBLE),
+       |  (13, 5, 398, 0.280647::DOUBLE),
+       |  (14, 1, 146, 0.354298::DOUBLE),
+       |  (14, 2, 147, 0.318137::DOUBLE),
+       |  (14, 3, 298, 0.312712::DOUBLE),
+       |  (14, 4, 271, 0.307482::DOUBLE),
+       |  (14, 5, 479, 0.287361::DOUBLE),
+       |  (15, 1, 424, 0.36331::DOUBLE),
+       |  (15, 2, 436, 0.324028::DOUBLE),
+       |  (15, 3, 59, 0.31961::DOUBLE),
+       |  (15, 4, 452, 0.268888::DOUBLE),
+       |  (15, 5, 409, 0.227027::DOUBLE),
+       |  (16, 1, 402, 0.446301::DOUBLE),
+       |  (16, 2, 216, 0.364333::DOUBLE),
+       |  (16, 3, 35, 0.349971::DOUBLE),
+       |  (16, 4, 222, 0.334201::DOUBLE),
+       |  (16, 5, 282, 0.317181::DOUBLE),
+       |  (17, 1, 135, 0.337837::DOUBLE),
+       |  (17, 2, 115, 0.335693::DOUBLE),
+       |  (17, 3, 197, 0.332516::DOUBLE),
+       |  (17, 4, 416, 0.320426::DOUBLE),
+       |  (17, 5, 385, 0.309494::DOUBLE),
+       |  (18, 1, 120, 0.327046::DOUBLE),
+       |  (18, 2, 181, 0.321305::DOUBLE),
+       |  (18, 3, 112, 0.31364::DOUBLE),
+       |  (18, 4, 263, 0.287097::DOUBLE),
+       |  (18, 5, 495, 0.281569::DOUBLE),
+       |  (19, 1, 87, 0.403241::DOUBLE),
+       |  (19, 2, 317, 0.315668::DOUBLE),
+       |  (19, 3, 54, 0.302562::DOUBLE),
+       |  (19, 4, 276, 0.29827::DOUBLE),
+       |  (19, 5, 52, 0.29289::DOUBLE)
+       |) AS t(q_id, rank, neighbor, sim)""".stripMargin,
+
     // IVF-PQ with nProbe == cells and rerank covering every candidate is
     // the exact re-rank of the full corpus — also the brute-force ranking.
     "q51_ann_ivfpq_exact" -> BruteForceTopKSql,
+
+    // PINNED GOLDEN for the approximate IVF-PQ leg (nProbe=6, ADC + top-50
+    // exact re-rank): deterministic like q49 (cached index is keyed by a
+    // data fingerprint; codebooks are hash-seeded fixed-iteration k-means).
+    // Same provenance/regeneration story as the q49 golden above.
+    "q51_ann_ivfpq" ->
+      """SELECT q_id::BIGINT AS q_id, rank::BIGINT AS rank, neighbor::BIGINT AS neighbor, sim FROM (VALUES
+       |  (0, 1, 365, 0.369994::DOUBLE),
+       |  (0, 2, 387, 0.331139::DOUBLE),
+       |  (0, 3, 423, 0.296934::DOUBLE),
+       |  (0, 4, 73, 0.295434::DOUBLE),
+       |  (0, 5, 190, 0.281795::DOUBLE),
+       |  (1, 1, 195, 0.322744::DOUBLE),
+       |  (1, 2, 402, 0.292322::DOUBLE),
+       |  (1, 3, 203, 0.268155::DOUBLE),
+       |  (1, 4, 363, 0.263306::DOUBLE),
+       |  (1, 5, 312, 0.259052::DOUBLE),
+       |  (2, 1, 117, 0.318143::DOUBLE),
+       |  (2, 2, 450, 0.266344::DOUBLE),
+       |  (2, 3, 145, 0.263494::DOUBLE),
+       |  (2, 4, 188, 0.263272::DOUBLE),
+       |  (2, 5, 320, 0.255043::DOUBLE),
+       |  (3, 1, 343, 0.308472::DOUBLE),
+       |  (3, 2, 174, 0.303548::DOUBLE),
+       |  (3, 3, 207, 0.291702::DOUBLE),
+       |  (3, 4, 192, 0.290803::DOUBLE),
+       |  (3, 5, 474, 0.276738::DOUBLE),
+       |  (4, 1, 114, 0.398513::DOUBLE),
+       |  (4, 2, 496, 0.341212::DOUBLE),
+       |  (4, 3, 280, 0.279826::DOUBLE),
+       |  (4, 4, 249, 0.279631::DOUBLE),
+       |  (4, 5, 257, 0.272399::DOUBLE),
+       |  (5, 1, 404, 0.328403::DOUBLE),
+       |  (5, 2, 419, 0.319237::DOUBLE),
+       |  (5, 3, 11, 0.257455::DOUBLE),
+       |  (5, 4, 453, 0.240669::DOUBLE),
+       |  (5, 5, 133, 0.23748::DOUBLE),
+       |  (6, 1, 350, 0.324518::DOUBLE),
+       |  (6, 2, 145, 0.297696::DOUBLE),
+       |  (6, 3, 437, 0.283031::DOUBLE),
+       |  (6, 4, 386, 0.275196::DOUBLE),
+       |  (6, 5, 395, 0.25912::DOUBLE),
+       |  (7, 1, 425, 0.40752::DOUBLE),
+       |  (7, 2, 209, 0.394463::DOUBLE),
+       |  (7, 3, 334, 0.356901::DOUBLE),
+       |  (7, 4, 445, 0.340782::DOUBLE),
+       |  (7, 5, 332, 0.285446::DOUBLE),
+       |  (8, 1, 39, 0.384696::DOUBLE),
+       |  (8, 2, 138, 0.356671::DOUBLE),
+       |  (8, 3, 403, 0.338238::DOUBLE),
+       |  (8, 4, 497, 0.317798::DOUBLE),
+       |  (8, 5, 380, 0.304526::DOUBLE),
+       |  (9, 1, 489, 0.343538::DOUBLE),
+       |  (9, 2, 386, 0.322118::DOUBLE),
+       |  (9, 3, 107, 0.284494::DOUBLE),
+       |  (9, 4, 256, 0.284474::DOUBLE),
+       |  (9, 5, 198, 0.258676::DOUBLE),
+       |  (10, 1, 233, 0.362182::DOUBLE),
+       |  (10, 2, 272, 0.360649::DOUBLE),
+       |  (10, 3, 313, 0.313132::DOUBLE),
+       |  (10, 4, 123, 0.313045::DOUBLE),
+       |  (10, 5, 390, 0.273976::DOUBLE),
+       |  (11, 1, 30, 0.367827::DOUBLE),
+       |  (11, 2, 399, 0.354481::DOUBLE),
+       |  (11, 3, 20, 0.336347::DOUBLE),
+       |  (11, 4, 465, 0.280256::DOUBLE),
+       |  (11, 5, 233, 0.261495::DOUBLE),
+       |  (12, 1, 127, 0.350543::DOUBLE),
+       |  (12, 2, 402, 0.316485::DOUBLE),
+       |  (12, 3, 161, 0.275537::DOUBLE),
+       |  (12, 4, 173, 0.272121::DOUBLE),
+       |  (12, 5, 274, 0.267527::DOUBLE),
+       |  (13, 1, 430, 0.309928::DOUBLE),
+       |  (13, 2, 55, 0.290693::DOUBLE),
+       |  (13, 3, 274, 0.286487::DOUBLE),
+       |  (13, 4, 398, 0.280647::DOUBLE),
+       |  (13, 5, 314, 0.26896::DOUBLE),
+       |  (14, 1, 146, 0.354298::DOUBLE),
+       |  (14, 2, 147, 0.318137::DOUBLE),
+       |  (14, 3, 271, 0.307482::DOUBLE),
+       |  (14, 4, 479, 0.287361::DOUBLE),
+       |  (14, 5, 199, 0.27795::DOUBLE),
+       |  (15, 1, 436, 0.324028::DOUBLE),
+       |  (15, 2, 59, 0.31961::DOUBLE),
+       |  (15, 3, 452, 0.268888::DOUBLE),
+       |  (15, 4, 409, 0.227027::DOUBLE),
+       |  (15, 5, 431, 0.225376::DOUBLE),
+       |  (16, 1, 402, 0.446301::DOUBLE),
+       |  (16, 2, 216, 0.364333::DOUBLE),
+       |  (16, 3, 35, 0.349971::DOUBLE),
+       |  (16, 4, 222, 0.334201::DOUBLE),
+       |  (16, 5, 282, 0.317181::DOUBLE),
+       |  (17, 1, 115, 0.335693::DOUBLE),
+       |  (17, 2, 197, 0.332516::DOUBLE),
+       |  (17, 3, 385, 0.309494::DOUBLE),
+       |  (17, 4, 70, 0.289241::DOUBLE),
+       |  (17, 5, 399, 0.284641::DOUBLE),
+       |  (18, 1, 120, 0.327046::DOUBLE),
+       |  (18, 2, 181, 0.321305::DOUBLE),
+       |  (18, 3, 112, 0.31364::DOUBLE),
+       |  (18, 4, 263, 0.287097::DOUBLE),
+       |  (18, 5, 495, 0.281569::DOUBLE),
+       |  (19, 1, 87, 0.403241::DOUBLE),
+       |  (19, 2, 317, 0.315668::DOUBLE),
+       |  (19, 3, 54, 0.302562::DOUBLE),
+       |  (19, 4, 276, 0.29827::DOUBLE),
+       |  (19, 5, 52, 0.29289::DOUBLE)
+       |) AS t(q_id, rank, neighbor, sim)""".stripMargin,
 
     // Full mirror of lshTopK(planes=8, dims=64, tables=4, probes=1):
     // splitmix64-derived hyperplanes (Similarity.planeComponent) rebuilt
