@@ -524,14 +524,20 @@ object Bench {
       r.gcSecs > GcStormFrac * math.max(r.taskSecs, r.secs)
     def capClean(w: HostWindow): Boolean =
       w.cpu >= HwCapClean && w.mem >= HwMemCapClean
+    // Wall-slack minimums are taken over ALL GC-clean pairs, not just the
+    // cap-clean subset: a contended window only ever makes legs SLOWER, so
+    // the GC-clean min is a valid wall reference for every round — whereas
+    // normalizing within the cap-clean subset lets a lone cap-clean round
+    // compare its legs to themselves and pass the wall rule arbitrarily
+    // stormed (observed: a 66.1 s wide leg, 1.85x the window's GC-clean
+    // min and 2.3x its task-seconds, published as a 0.394 "clean" pair).
     def cleanPairs(pairs: List[(CrawlRun, CrawlRun, HostWindow)]): List[(CrawlRun, CrawlRun, HostWindow)] = {
-      val noGc = pairs.filter { case (a, b, cap) =>
-        !gcStormed(a) && !gcStormed(b) && capClean(cap) }
+      val noGc = pairs.filter { case (a, b, _) => !gcStormed(a) && !gcStormed(b) }
       if (noGc.isEmpty) Nil
       else {
         val minA = noGc.map(_._1.secs).min
         val minB = noGc.map(_._2.secs).min
-        noGc.filter { case (a, b, _) =>
+        noGc.filter { case (a, b, cap) => capClean(cap) &&
           a.secs <= minA * CleanSlack && b.secs <= minB * CleanSlack }
       }
     }
@@ -665,6 +671,7 @@ object Bench {
           effWeakPairedContended.map(v =>
             s""""scaling_efficiency_weak_paired_contended_window":${f(v)},""").getOrElse("") +
           s""""clean_pairs":${cleanPairs(pairsWkHi).size},""" +
+          s""""min_clean_pairs":$MinCleanPairs,""" +
           s""""extra_trials":$extraTrials,""" +
           s""""gc_dirty_legs":$gcDirtyLegs,""" +
           s""""gc_storm_frac":$GcStormFrac,""" +
