@@ -51,7 +51,8 @@ object Bench {
   final case class CrawlRun(cores: Int, pages: Long, fetched: Long,
       enqueued: Long, secs: Double, taskSecs: Double = 0.0, gcSecs: Double = 0.0,
       spilledMB: Double = 0.0, shufRdMB: Double = 0.0, shufWrMB: Double = 0.0,
-      inputMB: Double = 0.0, sentinel: Double = 0.0, calKey: String = "") {
+      inputMB: Double = 0.0, sentinel: Double = 0.0, calKey: String = "",
+      sentStall: Double = 0.0) {
     def fetchedPerSec: Double = fetched / secs
     def enqueuePerSec: Double = enqueued / secs
     /** mean busy executor threads: task-time / wall — vs `cores` shows
@@ -166,13 +167,33 @@ object Bench {
    * chunks — noise well under 1% for legs of 20 s and up.
    */
   private object Sentinel {
-    def measure[T](body: => T): (T, Double) = {
+    /** A chunk of 1M float ops takes ~1-3 ms; any inter-chunk gap beyond
+     * this is a deschedule (run-queue wait), not a slow chunk — even a 4x
+     * DVFS slowdown keeps chunks under 6 ms. */
+    private val StallGapNanos = 10L * 1000 * 1000
+    /** Returns (result, opsPerSec, stallFrac). The RATE signal is muted
+     * under steal — CFS gives one thread a near-fair share even while a
+     * 16-thread child starves collectively (measured: a leg at 3.7x its
+     * clean task-seconds depressed the sentinel rate only to ~0.74) — so
+     * the primary signal is the STALL FRACTION: the share of the leg's
+     * wall the sentinel spent parked in the run queue (sum of inter-chunk
+     * gaps beyond StallGapNanos). On a host with spare cores it is ~0; an
+     * oversubscribed host parks the thread for scheduler quanta at a time.
+     * Absolute and calibration-free: DVFS shifts the rate but not
+     * queueing. */
+    def measure[T](body: => T): (T, Double, Double) = {
       val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
       val ops = new java.util.concurrent.atomic.AtomicLong
+      val stallNanos = new java.util.concurrent.atomic.AtomicLong
       val t = new Thread(() => {
         var x = 0.0d
+        var last = System.nanoTime()
         while (!stop.get) {
           var k = 0; while (k < 1000000) { x += k * 1.000000001d; k += 1 }
+          val now = System.nanoTime()
+          if (now - last > StallGapNanos)
+            stallNanos.addAndGet(now - last - StallGapNanos): Unit
+          last = now
           ops.addAndGet(1000000L): Unit
         }
         if (x == 42.0) println(x) // defeat DCE
@@ -181,8 +202,9 @@ object Bench {
       val t0 = System.nanoTime()
       t.start()
       val r = try body finally { stop.set(true); t.join() }
-      val secs = (System.nanoTime() - t0) / 1e9
-      (r, if (secs > 0) ops.get / secs else 0.0)
+      val nanos = System.nanoTime() - t0
+      (r, if (nanos > 0) ops.get * 1e9 / nanos else 0.0,
+        if (nanos > 0) math.min(1.0, stallNanos.get.toDouble / nanos) else 0.0)
     }
   }
 
@@ -285,7 +307,7 @@ object Bench {
     // tasks let early finishers absorb the skew; same ratio at both
     // widths keeps the comparison fair.
     pb.environment().put("SPARK_GRAFT_SHUFFLE_PARTS", (2 * cores).toString)
-    val (out, sentinelRate) = Sentinel.measure {
+    val (out, sentinelRate, sentinelStall) = Sentinel.measure {
       val proc = pb.start()
       val drainer = new Thread(() => proc.getErrorStream.readAllBytes(): Unit)
       drainer.setDaemon(true); drainer.start()
@@ -312,7 +334,7 @@ object Bench {
       Option(m.group(9)).map(_.toDouble).getOrElse(0.0),
       Option(m.group(10)).map(_.toDouble).getOrElse(0.0),
       Option(m.group(11)).map(_.toDouble).getOrElse(0.0),
-      sentinel = sentinelRate, calKey = key))
+      sentinel = sentinelRate, calKey = key, sentStall = sentinelStall))
   }
 
   /**
@@ -637,11 +659,24 @@ object Bench {
     // HOSTCAL.json) the floor self-anchors to this run's best per shape —
     // it can only flag legs >30% below a rate the SAME run proved
     // attainable.
+    // Two sentinel criteria, either disqualifies:
+    //  - STALL: the share of the leg's wall the sentinel thread spent
+    //    parked in the run queue. Absolute and calibration-free — a host
+    //    with spare cores never parks it (~0), an oversubscribed one parks
+    //    it for scheduler quanta; 0.10 sits far above clean noise (parent
+    //    safepoints are sub-ms) and far below observed steal regimes.
+    //  - RATE floor vs the per-shape calibrated best: the backstop for
+    //    regimes that slow cycles without queueing (frequency capping).
+    //    Muted under steal (a single thread keeps a near-fair share while
+    //    a 16-thread child starves collectively), hence secondary.
     val SentinelClean =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SENTINEL_CLEAN", "0.70").toDouble
+    val SentinelStallMax =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SENTINEL_STALL_MAX", "0.10").toDouble
     def sentinelDirty(r: CrawlRun): Boolean = {
       val cal = sentinelCal(r.calKey)
-      cal > 0 && r.sentinel > 0 && r.sentinel < SentinelClean * cal
+      r.sentStall > SentinelStallMax ||
+        (cal > 0 && r.sentinel > 0 && r.sentinel < SentinelClean * cal)
     }
     // Wall-slack minimums are taken over ALL GC-clean pairs, not just the
     // cap-clean subset: a contended window only ever makes legs SLOWER, so
@@ -777,7 +812,8 @@ object Bench {
           s""""trials_shuf_wr_mb":${legArr(rs, _.shufWrMB)},""" +
           s""""trials_input_mb":${legArr(rs, _.inputMB)},""" +
           s""""trials_spill_mb":${legArr(rs, _.spilledMB)},""" +
-          s""""trials_sentinel_mops":${legArr(rs, _.sentinel / 1e6)}"""
+          s""""trials_sentinel_mops":${legArr(rs, _.sentinel / 1e6)},""" +
+          s""""trials_sentinel_stall":${legArr(rs, _.sentStall)}"""
       def sentinelCalJson() =
         (hostcalFile.keySet ++ sentinelSeen.keySet).toSeq.sorted
           .map(k => s""""$k":${f(sentinelCal(k) / 1e6)}""").mkString("{", ",", "}")
@@ -821,6 +857,7 @@ object Bench {
           s""""gc_storm_frac":$GcStormFrac,""" +
           s""""sentinel_dirty_legs":${(runsLo ++ runsHi ++ runsWk).count(p => sentinelDirty(p._1))},""" +
           s""""sentinel_clean_frac":$SentinelClean,""" +
+          s""""sentinel_stall_max":$SentinelStallMax,""" +
           s""""sentinel_cal_mops":${sentinelCalJson()},""" +
           s"""${capsJson(roundCaps)},""" +
           s""""contended_rounds":$contendedRounds,""" +
